@@ -1,0 +1,164 @@
+"""Monte-Carlo path integrator: scatter model + bounce loop + sample loop.
+
+Faithful vectorization of the shader's path logic:
+
+* ``diffuse()`` (reference: fragment.glsl:220-232): in lambertian mode the
+  scatter direction is ``normalize(normal + xi)`` with xi uniform in
+  [-1,1]^3 (a cosine-weighted approximation); otherwise the random vector is
+  sign-flipped into the hemisphere and normalized.
+* ``lerp()`` (fragment.glsl:234-240) blends the normalized diffuse and
+  mirror-reflection directions by ``1 - roughness`` and renormalizes:
+  roughness 1 -> pure diffuse, 0 -> mirror.
+``raycast_fn(origin, dir, alive)`` receives the live-ray mask so traversal
+can skip work for terminated paths.
+
+* the bounce loop (fragment.glsl:309-350) adds ``emission_color * emission *
+  rayColor`` on every hit (doubled in lambertian mode, fragment.glsl:329-331),
+  multiplies the throughput by the surface color, offsets the next origin by
+  ``normal * 1e-4``, terminates on ANY emissive hit, and on miss adds the
+  constant sky then stops.  The per-fragment ``break`` statements become an
+  ``alive`` mask; dead rays contribute exactly their frozen light.
+* ``trace()`` (fragment.glsl:352-366) averages ``rays_per_pixel`` fully
+  independent restarts of the same primary ray, with the RNG state carried
+  sequentially across samples exactly like the shader's single ``seed``.
+
+The bounce loop is a ``lax.while_loop`` so a ray chunk whose paths all
+terminate early stops tracing — the vector analog of the shader's breaks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opengl_raytracer_tpu.ops import rng
+from opengl_raytracer_tpu.ops.intersect import finalize_hit
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def _normalize_unguarded(v):
+    """GLSL ``normalize``: plain division (near-zero input is the caller's
+    problem, as in the shader); we clamp the denominator at a denormal-level
+    tiny to keep NaNs out of the image."""
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, np.float32(1e-30))
+
+
+def _normalize_guarded(v):
+    """The ``lerp`` helper's explicit guard: zero vector stays zero
+    (fragment.glsl:237-238)."""
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return jnp.where(n > 0.0, v / jnp.maximum(n, np.float32(1e-30)), jnp.zeros_like(v))
+
+
+def scatter(seed, normal, ray_dir, roughness, lambertian: bool):
+    """Next bounce direction; returns (new_seed, direction).
+
+    Draws exactly three RNG values (the shader draws them in ``diffuse``
+    before any other decision, fragment.glsl:221), computes the mirror
+    direction with ``reflect``, and blends per ``lerp``.
+    """
+    seed, xi = rng.random_vec3(seed)
+
+    if lambertian:
+        diffuse_dir = _normalize_unguarded(normal + xi)
+    else:
+        flip = _dot(xi, normal) < 0.0
+        xi = jnp.where(flip, -xi, xi)
+        diffuse_dir = _normalize_unguarded(xi)
+
+    # GLSL reflect(I, N) = I - 2*dot(N, I)*N (fragment.glsl:320).
+    specular_dir = ray_dir - 2.0 * _dot(ray_dir, normal) * normal
+
+    # lerp(diffuseDir, specularDir, roughness) (fragment.glsl:234-240).
+    t = 1.0 - roughness[:, None]
+    d0 = _normalize_guarded(diffuse_dir)
+    d1 = _normalize_guarded(specular_dir)
+    out = _normalize_unguarded(d0 * (1.0 - t) + d1 * t)
+    return seed, out
+
+
+def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
+             lambertian: bool):
+    """One path per ray: returns (incoming_light (R,3), new_seed).
+
+    The reference's per-pixel bounce loop (fragment.glsl:309-350) with the
+    emissive-break and miss-break semantics expressed as an alive mask.
+    """
+    R = origin0.shape[0]
+    emission_scale = np.float32(2.0 if lambertian else 1.0)
+
+    def cond(state):
+        i, _, _, _, _, alive, _ = state
+        return (i < n_bounces) & jnp.any(alive)
+
+    def body(state):
+        i, origin, direction, ray_color, incoming, alive, seed = state
+
+        nearest = raycast_fn(origin, direction, alive)
+        hit = finalize_hit(scene, origin, direction, nearest)
+
+        seed_h, new_dir = scatter(seed, hit.normal, direction, hit.roughness,
+                                  lambertian)
+
+        was_hit = alive & hit.did_hit
+        was_miss = alive & ~hit.did_hit
+
+        emitted = hit.emission_color * (hit.emission * emission_scale)[:, None]
+        incoming = (
+            incoming
+            + jnp.where(was_hit[:, None], emitted * ray_color, 0.0)
+            + jnp.where(was_miss[:, None], sky_color[None, :], 0.0)
+        )
+        ray_color = jnp.where(was_hit[:, None], ray_color * hit.color, ray_color)
+        origin = jnp.where(
+            was_hit[:, None], hit.point + hit.normal * np.float32(1e-4), origin
+        )
+        direction = jnp.where(was_hit[:, None], new_dir, direction)
+        seed = jnp.where(was_hit, seed_h, seed)
+        # Terminate on emissive hit (fragment.glsl:338-340) or on miss.
+        alive = was_hit & ~(hit.emission > 0.0)
+        return i + 1, origin, direction, ray_color, incoming, alive, seed
+
+    state = (
+        jnp.int32(0),
+        origin0,
+        dir0,
+        jnp.ones((R, 3), jnp.float32),
+        jnp.zeros((R, 3), jnp.float32),
+        jnp.ones((R,), bool),
+        seed0,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[4], state[6]
+
+
+def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
+          rays_per_pixel: int, lambertian: bool):
+    """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366)."""
+    run = partial(
+        raytrace,
+        scene,
+        raycast_fn,
+        origin0,
+        dir0,
+        sky_color=sky_color,
+        n_bounces=n_bounces,
+        lambertian=lambertian,
+    )
+    if rays_per_pixel == 1:
+        color, seed = run(seed0=seed0)
+        return color, seed
+
+    def body(seed, _):
+        color, seed = run(seed0=seed)
+        return seed, color
+
+    seed, colors = jax.lax.scan(body, seed0, None, length=rays_per_pixel)
+    return colors.mean(axis=0), seed

@@ -1,0 +1,271 @@
+"""Progressive tile renderer: the jit-compiled core of the framework.
+
+Replaces the reference's GL plumbing — fragment dispatch over a fullscreen
+quad, RGBA32F ping-pong FBO accumulation, per-tile draw calls (reference:
+main.py:273-430, screen.py:37-52, fragment.glsl:376-416) — with a single
+pure function per tile step:
+
+    accum' = step(scene, camera, accum, frame_count, tile_x, tile_y, ...)
+
+* The per-pixel work (seed, warm-up, angle-linear ray, jitter, trace) follows
+  fragment.glsl ``main()`` exactly (fragment.glsl:376-407).
+* Progressive accumulation is the running mean
+  ``(prev * frameNumber + curr) / (frameNumber + 1)``
+  (fragment.glsl:409-414); functional double-buffering makes the reference's
+  read-write hazard (main.py:389) structurally impossible.
+* The tile scheduler renders one ``(W/tiles) x (H/tiles)`` band per step and
+  the frame counter increments after a full sweep (main.py:409-418,
+  fragment.glsl:382-386).  Tiles must divide the frame exactly (the
+  reference's remainder-tile gating arithmetic, main.py:156-157, never
+  triggers at its defaults).
+* Rays are chunked into coherent row bands inside the step (``lax.map``), so
+  BVH-traversal divergence is bounded per chunk and peak memory stays flat.
+
+The accumulation buffer is donated, so progressive rendering updates HBM in
+place.  ``accum`` is stored top-row-first; ray generation converts to the
+reference's GL bottom-up pixel coordinates for seed/uv parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opengl_raytracer_tpu.models.scene import Scene, SceneData
+from opengl_raytracer_tpu.ops import rng
+from opengl_raytracer_tpu.ops.camera import Camera, make_camera, pixel_uv, ray_dirs
+from opengl_raytracer_tpu.ops.integrator import trace
+from opengl_raytracer_tpu.ops.intersect import raycast_brute
+from opengl_raytracer_tpu.ops.traversal import PACKET, raycast_bvh, raycast_packet
+from opengl_raytracer_tpu.utils.config import RenderConfig, SKY_COLOR
+
+_BRUTE_MAX_TRIS = 128  # "auto" switches to BVH packet traversal above this
+
+_BLOCK_H, _BLOCK_W = 8, 16  # coherent 128-ray packet tile (8 rows x 16 cols)
+
+
+def make_raycast_fn(scene, config: RenderConfig, traversal: str):
+    """Bind a raycast(origin, dir, active) -> Nearest for the chosen
+    traversal strategy."""
+    if traversal == "brute":
+        return partial(raycast_brute, scene)
+    if traversal == "bvh":
+        return partial(raycast_bvh, scene, max_leaf_tris=config.max_leaf_tris)
+    if traversal == "packet":
+        return partial(raycast_packet, scene, max_leaf_tris=config.max_leaf_tris)
+    raise ValueError(f"unknown traversal {traversal!r}")
+
+
+@dataclasses.dataclass
+class RenderState:
+    """Resumable render state: the functional analog of the reference's
+    (accum FBO pair, frame_count, tile cursor) (screen.py:65-66,
+    main.py:282)."""
+
+    accum: jnp.ndarray  # (H, W, 3) float32, top row first
+    frame_count: int = 0
+    tile_x: int = 0
+    tile_y: int = 0
+    total_frames: int = 0  # tile draws issued (reference main.py:276)
+
+
+def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
+                  frame_number, sky_brightness, jitter_amount,
+                  px, py, raycast_fn):
+    """Trace a flat batch of pixels; px/py int32 (R,), py in GL convention
+    (0 = bottom row).  Returns (R, 3) linear color."""
+    seed = rng.seed_pixels(px, py, frame_number)
+    seed = rng.warmup(seed, 3)
+
+    u, v = pixel_uv(px, py, config.width, config.height)
+    d = ray_dirs(camera, u, v, config.width, config.height)
+
+    # Anti-alias jitter (fragment.glsl:398-400).
+    seed, r1 = rng.random_value(seed)
+    seed, r2 = rng.random_value(seed)
+    d = d + (camera.right[None, :] * r1[:, None]
+             + camera.up[None, :] * r2[:, None]) * jitter_amount
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    origin = jnp.broadcast_to(camera.pos[None, :], d.shape)
+    sky = jnp.asarray(SKY_COLOR, jnp.float32) * sky_brightness
+
+    color, _ = trace(
+        scene,
+        raycast_fn,
+        origin,
+        d,
+        seed,
+        sky,
+        n_bounces=config.n_bounces,
+        rays_per_pixel=config.rays_per_pixel,
+        lambertian=config.lambertian,
+    )
+    return color
+
+
+def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
+               tile_x, tile_y, sky_brightness, jitter_amount,
+               *, config: RenderConfig, traversal: str):
+    """Render one tile and fold it into the accumulation buffer."""
+    H, W = config.height, config.width
+    tw, th = config.tile_w, config.tile_h
+    R = tw * th
+
+    raycast_fn = make_raycast_fn(scene, config, traversal)
+
+    # Pixel grids for this tile, GL convention.
+    col0 = tile_x * tw
+    py0 = tile_y * th
+    px = col0 + jnp.broadcast_to(jnp.arange(tw, dtype=jnp.int32)[None, :], (th, tw))
+    py = py0 + jnp.broadcast_to(jnp.arange(th, dtype=jnp.int32)[:, None], (th, tw))
+
+    # Packet mode wants spatially coherent ray packets: reorder pixels into
+    # 8x16 blocks so each group of 128 consecutive rays is one screen tile.
+    use_blocks = (
+        traversal == "packet" and th % _BLOCK_H == 0 and tw % _BLOCK_W == 0
+    )
+    if use_blocks:
+        def to_blocks(a):
+            return (
+                a.reshape(th // _BLOCK_H, _BLOCK_H, tw // _BLOCK_W, _BLOCK_W)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1)
+            )
+        px, py = to_blocks(px), to_blocks(py)
+    else:
+        px, py = px.reshape(-1), py.reshape(-1)
+
+    chunk = config.ray_chunk or min(R, 128 * 1024)
+    chunk = min(chunk, R)
+    if traversal == "packet":
+        chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
+
+    body = partial(
+        render_pixels, scene, config, camera, frame_count,
+        sky_brightness, jitter_amount, raycast_fn=raycast_fn,
+    )
+
+    if n_chunks == 1:
+        colors = body(px, py)
+    else:
+        colors = jax.lax.map(
+            lambda xs: body(xs[0], xs[1]),
+            (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk)),
+        ).reshape(-1, 3)
+    colors = colors[:R]
+    if use_blocks:
+        colors = (
+            colors.reshape(th // _BLOCK_H, tw // _BLOCK_W, _BLOCK_H, _BLOCK_W, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(th, tw, 3)
+        )
+    else:
+        colors = colors.reshape(th, tw, 3)
+
+    # GL py ascends bottom-up; accum rows descend top-down.
+    tile_img = colors[::-1]
+    row0 = H - py0 - th
+
+    prev = jax.lax.dynamic_slice(accum, (row0, col0, 0), (th, tw, 3))
+    fc = frame_count.astype(jnp.float32)
+    merged = (prev * fc + tile_img) / (fc + 1.0)
+    return jax.lax.dynamic_update_slice(accum, merged, (row0, col0, 0))
+
+
+class Renderer:
+    """Owns the compiled tile step and the host-side tile/frame bookkeeping
+    (the reference's App.main loop, main.py:273-430, minus windowing)."""
+
+    def __init__(self, scene, config: RenderConfig = RenderConfig()):
+        if isinstance(scene, Scene):
+            scene_data = scene.send()
+        else:
+            scene_data = scene
+        self.scene = scene_data
+        self.config = config
+
+        if config.width % config.tile_size or config.height % config.tile_size:
+            raise ValueError(
+                f"tile_size={config.tile_size} must divide "
+                f"{config.width}x{config.height} exactly"
+            )
+
+        traversal = config.traversal
+        if traversal == "auto":
+            traversal = "brute" if scene_data.num_tris <= _BRUTE_MAX_TRIS else "packet"
+        self.traversal = traversal
+
+        self._step = jax.jit(
+            partial(_tile_step, config=config, traversal=traversal),
+            donate_argnums=(2,),
+        )
+
+    def init_state(self) -> RenderState:
+        accum = jnp.zeros((self.config.height, self.config.width, 3), jnp.float32)
+        return RenderState(accum=accum)
+
+    def reset(self, state: RenderState) -> RenderState:
+        """Zero the accumulation and counters (reference resetFrames,
+        main.py:252-271)."""
+        return RenderState(accum=jnp.zeros_like(state.accum))
+
+    def step(self, state: RenderState, camera: Camera,
+             sky_brightness: float | None = None,
+             jitter_amount: float | None = None) -> RenderState:
+        """One tile draw + tile cursor advance (main.py:375-418)."""
+        cfg = self.config
+        sky = cfg.sky_brightness if sky_brightness is None else sky_brightness
+        jit_amt = cfg.jitter_amount if jitter_amount is None else jitter_amount
+
+        accum = self._step(
+            self.scene, camera, state.accum,
+            jnp.int32(state.frame_count),
+            jnp.int32(state.tile_x), jnp.int32(state.tile_y),
+            jnp.float32(sky), jnp.float32(jit_amt),
+        )
+
+        tile_x, tile_y, frames = state.tile_x + 1, state.tile_y, state.frame_count
+        if tile_x >= cfg.num_tiles_x:
+            tile_x = 0
+            tile_y += 1
+            if tile_y >= cfg.num_tiles_y:
+                tile_y = 0
+                frames += 1
+        return RenderState(
+            accum=accum,
+            frame_count=frames,
+            tile_x=tile_x,
+            tile_y=tile_y,
+            total_frames=state.total_frames + 1,
+        )
+
+    def render(self, camera: Camera | None = None, frames: int = 1,
+               state: RenderState | None = None,
+               cam_pos=None, cam_dir=None) -> RenderState:
+        """Run `frames` full progressive sweeps and return the state."""
+        if camera is None:
+            camera = make_camera(
+                cam_pos if cam_pos is not None else [-33.7, 14.8, -21.1],
+                cam_dir if cam_dir is not None else [65.0, -25.4],
+            )
+        if state is None:
+            state = self.init_state()
+        tiles = self.config.num_tiles_x * self.config.num_tiles_y
+        for _ in range(frames * tiles):
+            state = self.step(state, camera)
+        return state
+
+    @staticmethod
+    def image(state: RenderState) -> np.ndarray:
+        """Accumulated frame as (H, W, 3) float32, top row first."""
+        return np.asarray(state.accum)

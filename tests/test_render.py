@@ -1,0 +1,153 @@
+"""End-to-end render tests: the vectorized JAX renderer vs the scalar GLSL
+oracle, BVH-vs-brute image equality, progressive accumulation, and tile
+scheduling invariance."""
+
+import numpy as np
+import pytest
+
+from opengl_raytracer_tpu.models.rect import Rect
+from opengl_raytracer_tpu.models.scene import Scene
+from opengl_raytracer_tpu.models.trisoup import Triangles
+from opengl_raytracer_tpu.ops.camera import camera_basis, make_camera
+from opengl_raytracer_tpu.renderer import Renderer, RenderState
+from opengl_raytracer_tpu.utils.config import RenderConfig
+from opengl_raytracer_tpu.utils.image import rmse
+
+import oracle
+
+
+def cornellish_objects():
+    """A small closed-box scene with an emissive ceiling panel."""
+    return [
+        Rect([4, 4, 0.1], [0, 0, -2], [0, 0, 0], color=[0.8, 0.2, 0.2], roughness=1),
+        Rect([4, 4, 0.1], [0, -2, 0], [90, 0, 0], color=[0.2, 0.8, 0.2], roughness=1),
+        Rect([4, 4, 0.1], [0, 2, 0], [90, 0, 0], color=[0.9, 0.9, 0.9], roughness=1),
+        Rect([1.5, 1.5, 0.1], [0, 1.9, 0], [90, 0, 0], color=[0, 0, 0],
+             emission_color=[1, 1, 1], emission=1.5, roughness=1),
+        Triangles(
+            [[[-1, -1, 0.5], [1, -1, 0.5], [0, 1, 0.5]]],
+            color=(0.3, 0.3, 0.9), roughness=0.0,
+        ),
+    ]
+
+
+def make_camera_for_test():
+    pos = np.array([0.0, 0.0, 4.0], dtype=np.float32)
+    cam_dir = (180.0, 0.0)  # look down -z... yaw 180 -> forward (0,0,-1)
+    return pos, cam_dir
+
+
+def run_jax(objects, w=24, h=20, bounces=2, frames=1, traversal="brute", **kw):
+    cfg = RenderConfig(width=w, height=h, bounces=bounces, traversal=traversal,
+                       **kw)
+    scene = Scene(objects, max_leaf_tris=cfg.max_leaf_tris)
+    r = Renderer(scene, cfg)
+    pos, cam_dir = make_camera_for_test()
+    state = r.render(camera=make_camera(pos, cam_dir), frames=frames)
+    return r.image(state), scene, cfg
+
+
+def run_oracle(scene, cfg, frames=1):
+    pos, cam_dir = make_camera_for_test()
+    right, forward, up = camera_basis(cam_dir)
+    osc = oracle.OracleScene.from_scene(scene)
+    imgs = [
+        oracle.render(
+            osc, cfg.width, cfg.height, pos.astype(np.float64), right, up,
+            forward, cfg.bounces, rays_per_pixel=cfg.rays_per_pixel,
+            jitter=cfg.jitter_amount, lambertian=cfg.lambertian,
+            sky_brightness=cfg.sky_brightness, frame_number=f,
+        )
+        for f in range(frames)
+    ]
+    return np.mean(imgs, axis=0)
+
+
+def test_matches_oracle_single_bounce():
+    img, scene, cfg = run_jax(cornellish_objects(), bounces=0)
+    ref = run_oracle(scene, cfg)
+    assert rmse(img, ref) < 1e-5
+
+
+def test_matches_oracle_multi_bounce():
+    img, scene, cfg = run_jax(cornellish_objects(), bounces=3)
+    ref = run_oracle(scene, cfg)
+    assert rmse(img, ref) < 1e-4
+
+
+def test_matches_oracle_non_lambertian():
+    img, scene, cfg = run_jax(cornellish_objects(), bounces=2, lambertian=False)
+    ref = run_oracle(scene, cfg)
+    assert rmse(img, ref) < 1e-4
+
+
+def test_matches_oracle_multi_spp():
+    img, scene, cfg = run_jax(cornellish_objects(), bounces=1, rays_per_pixel=3)
+    ref = run_oracle(scene, cfg)
+    assert rmse(img, ref) < 1e-4
+
+
+def test_progressive_accumulation_is_mean():
+    img2, scene, cfg = run_jax(cornellish_objects(), bounces=1, frames=2)
+    ref = run_oracle(scene, cfg, frames=2)
+    assert rmse(img2, ref) < 1e-4
+
+
+def test_bvh_matches_brute_image():
+    img_b, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="brute")
+    img_v, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="bvh")
+    assert rmse(img_b, img_v) < 1e-5
+
+
+def test_packet_matches_brute_image():
+    img_b, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="brute")
+    img_p, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="packet")
+    assert rmse(img_b, img_p) < 1e-5
+
+
+def test_packet_block_ordering_matches():
+    # Resolution divisible by the 8x16 packet block -> block reorder path
+    img_b, _, _ = run_jax(cornellish_objects(), w=32, h=16, bounces=2,
+                          traversal="brute")
+    img_p, _, _ = run_jax(cornellish_objects(), w=32, h=16, bounces=2,
+                          traversal="packet")
+    assert rmse(img_b, img_p) < 1e-5
+
+
+def test_tiles_match_full_frame():
+    img_full, _, _ = run_jax(cornellish_objects(), w=24, h=20, bounces=1,
+                             tile_size=1)
+    img_tiled, _, _ = run_jax(cornellish_objects(), w=24, h=20, bounces=1,
+                              tile_size=4)
+    assert rmse(img_full, img_tiled) < 1e-6
+
+
+def test_ray_chunking_invariance():
+    img_one, _, _ = run_jax(cornellish_objects(), bounces=1)
+    img_chunked, _, _ = run_jax(cornellish_objects(), bounces=1, ray_chunk=64)
+    assert rmse(img_one, img_chunked) < 1e-6
+
+
+def test_sky_only_scene():
+    # Ray straight up sees only sky: value = sky color * brightness
+    objs = [Triangles([[[100, -1, 100], [101, -1, 100], [100, -1, 101]]],
+                      color=(1, 1, 1))]
+    img, _, cfg = run_jax(objs, w=8, h=8, bounces=0, jitter_amount=0.0)
+    assert np.allclose(img[4, 4], np.array(oracle.SKY), atol=1e-5)
+
+
+def test_emissive_terminates_path():
+    # Camera staring at a pure emitter: pixel = 2 * emission (lambertian x2)
+    objs = [Rect([4, 4, 0.1], [0, 0, -2], [0, 0, 0], color=[0, 0, 0],
+                 emission_color=[1.0, 0.5, 0.25], emission=1.5, roughness=1)]
+    img, _, cfg = run_jax(objs, w=8, h=8, bounces=3, jitter_amount=0.0)
+    np.testing.assert_allclose(
+        img[4, 4], np.array([1.0, 0.5, 0.25]) * 1.5 * 2.0, rtol=1e-5
+    )
+
+
+def test_invalid_tile_size_raises():
+    cfg = RenderConfig(width=24, height=20, tile_size=7)
+    scene = Scene(cornellish_objects())
+    with pytest.raises(ValueError):
+        Renderer(scene, cfg)
