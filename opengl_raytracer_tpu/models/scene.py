@@ -57,6 +57,13 @@ class SceneData(NamedTuple):
     node_miss: jnp.ndarray  # (N,) int32
     node_first: jnp.ndarray  # (N,) int32
     node_count: jnp.ndarray  # (N,) int32
+    # Packed records for the Pallas kernel (ops/pallas_traversal.py):
+    # VMEM-tiling-aware layout — 8 triangles per 128-lane row, leaves
+    # aligned to row starts so a leaf is one contiguous sublane load.
+    pl_geom: jnp.ndarray  # (N, 8) f32 [min.xyz, max.xyz, 0, 0]
+    pl_meta: jnp.ndarray  # (N, 8) i32 [miss, first_row, count, 0...]
+    pl_tri_rows: jnp.ndarray  # (T_rows, 128) f32, 8 x 16-lane tri records
+    pl_remap: jnp.ndarray  # (T_rows * 8,) i32 aligned slot -> permuted tri
 
     @property
     def num_tris(self) -> int:
@@ -80,6 +87,7 @@ class Scene:
         objects: list,
         max_leaf_tris: int = 16,
         build_bvh: bool = True,
+        bvh_method: str = "sah",
         verbose: bool = False,
     ):
         if not objects:
@@ -137,7 +145,9 @@ class Scene:
 
         self.bvh: bvh_mod.BVH | None = None
         if build_bvh and n_tris > 0:
-            self.bvh = bvh_mod.build_bvh(self.v0, self.v1, self.v2, max_leaf_tris)
+            self.bvh = bvh_mod.build_bvh(
+                self.v0, self.v1, self.v2, max_leaf_tris, method=bvh_method
+            )
         self.total_boxes = self.bvh.num_nodes if self.bvh is not None else 0
 
         if verbose:
@@ -201,6 +211,42 @@ class Scene:
             node_first = np.array([0], dtype=np.int32)
             node_count = np.array([self.total_triangles], dtype=np.int32)
 
+        N = node_miss.shape[0]
+        node_geom = np.zeros((N, 8), np.float32)
+        node_geom[:, 0:3] = node_min
+        node_geom[:, 3:6] = node_max
+
+        # Row-aligned triangle table for the Pallas kernel: each leaf's
+        # triangles are copied to an 8-aligned slot range (padding slots are
+        # zero/degenerate), so leaves are whole (8,128)-tile rows.
+        tpr = 8  # triangles per 128-lane row
+        leaf_rows_pad = -(-self.max_leaf_tris // tpr)
+        leaf_ids = np.nonzero(node_count > 0)[0]
+        counts = node_count[leaf_ids].astype(np.int64)
+        aligned_counts = -(-counts // tpr) * tpr
+        offsets = np.concatenate(([0], np.cumsum(aligned_counts)))
+        t_aligned = int(offsets[-1]) + leaf_rows_pad * tpr  # overrun slack
+
+        node_meta = np.zeros((N, 8), np.int32)
+        node_meta[:, 0] = node_miss
+        node_meta[leaf_ids, 1] = (offsets[:-1] // tpr).astype(np.int32)
+        node_meta[:, 2] = node_count
+
+        pl_remap = np.zeros(t_aligned, np.int64)
+        valid = np.zeros(t_aligned, bool)
+        for off, first, cnt in zip(offsets[:-1], node_first[leaf_ids], counts):
+            pl_remap[off:off + cnt] = np.arange(first, first + cnt)
+            valid[off:off + cnt] = True
+
+        tri16 = np.zeros((v0.shape[0], 16), np.float32)
+        tri16[:, 0:3] = v0
+        tri16[:, 3:6] = e1
+        tri16[:, 6:9] = e2
+        tri16[:, 9:12] = face
+        aligned16 = np.zeros((t_aligned, 16), np.float32)
+        aligned16[valid] = tri16[pl_remap[valid]]
+        pl_tri_rows = aligned16.reshape(t_aligned // tpr, 128)
+
         self._device = SceneData(
             v0=jnp.asarray(v0),
             e1=jnp.asarray(e1.astype(np.float32)),
@@ -218,6 +264,10 @@ class Scene:
             node_miss=jnp.asarray(node_miss),
             node_first=jnp.asarray(node_first),
             node_count=jnp.asarray(node_count),
+            pl_geom=jnp.asarray(node_geom),
+            pl_meta=jnp.asarray(node_meta),
+            pl_tri_rows=jnp.asarray(pl_tri_rows),
+            pl_remap=jnp.asarray(pl_remap.astype(np.int32)),
         )
         return self._device
 

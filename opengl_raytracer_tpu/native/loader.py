@@ -72,7 +72,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),  # v2
             ctypes.c_longlong,  # T
             ctypes.c_int,  # max_leaf_tris
-            ctypes.POINTER(ctypes.c_float),  # node_min (out, 2T-1 x 3)
+            ctypes.c_int,  # method: 0 mean-split, 1 binned SAH
+            ctypes.POINTER(ctypes.c_float),  # node_min (out, 2T x 3)
             ctypes.POINTER(ctypes.c_float),  # node_max
             ctypes.POINTER(ctypes.c_int),  # node_miss
             ctypes.POINTER(ctypes.c_int),  # node_first
@@ -103,8 +104,9 @@ def load_obj_native(file_path: str) -> np.ndarray:
 
 
 def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                     max_leaf_tris: int):
+                     max_leaf_tris: int, method: int = 0):
     """C++ BVH build -> same tuple layout as ops/bvh.py:build_bvh.
+    method: 0 = reference mean-split, 1 = binned SAH.
     Returns None if the native library is unavailable."""
     lib = get_lib()
     if lib is None:
@@ -129,7 +131,7 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     c1 = np.ascontiguousarray(v1, np.float32)
     c2 = np.ascontiguousarray(v2, np.float32)
     n = lib.bvh_build(
-        fp(c0), fp(c1), fp(c2), T, max_leaf_tris,
+        fp(c0), fp(c1), fp(c2), T, max_leaf_tris, method,
         fp(node_min), fp(node_max), ip(node_miss), ip(node_first),
         ip(node_count),
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),

@@ -54,8 +54,34 @@ class BVH(NamedTuple):
         return int(self.node_miss.shape[0])
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, max_leaf_tris: int = 4) -> BVH:
-    """Build a mean-split BVH over triangles given as three (T, 3) arrays."""
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              max_leaf_tris: int = 16, method: str = "sah",
+              prefer_native: bool = True) -> BVH:
+    """Build a BVH over triangles given as three (T, 3) arrays.
+
+    method: "mean" (the reference's centroid-mean split) or "sah" (binned
+    surface-area heuristic; native builder only).  Prefers the C++ builder
+    (native/bvh.cpp) and falls back to the pure-NumPy mean-split twin below
+    when no compiler is available — mirroring the reference's compiled/
+    interpreted module pairing (boundingBoxes.pyx vs scene.py:274-421).
+    """
+    if prefer_native:
+        try:
+            from opengl_raytracer_tpu.native import loader
+
+            bvh = loader.build_bvh_native(
+                v0, v1, v2, max_leaf_tris, method=1 if method == "sah" else 0
+            )
+            if bvh is not None:
+                return bvh
+        except Exception:
+            pass
+    return build_bvh_numpy(v0, v1, v2, max_leaf_tris)
+
+
+def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                    max_leaf_tris: int = 16) -> BVH:
+    """Pure-NumPy mean-split builder (the readable spec of the native one)."""
     T = v0.shape[0]
     if T == 0:
         raise ValueError("cannot build a BVH over zero triangles")

@@ -85,21 +85,40 @@ def scatter(seed, normal, ray_dir, roughness, lambertian: bool):
 
 
 def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
-             lambertian: bool):
+             lambertian: bool, reorder: bool = False):
     """One path per ray: returns (incoming_light (R,3), new_seed).
 
     The reference's per-pixel bounce loop (fragment.glsl:309-350) with the
     emissive-break and miss-break semantics expressed as an alive mask.
+
+    With ``reorder=True``, rays are re-sorted by a Morton/octant coherence
+    key (ops/morton.py) before every raycast so packet-style traversals see
+    coherent blocks even on bounce rays; each ray carries its own RNG state
+    and original index, so results are bit-identical to the unsorted order.
     """
     R = origin0.shape[0]
     emission_scale = np.float32(2.0 if lambertian else 1.0)
 
+    if reorder:
+        from opengl_raytracer_tpu.ops.morton import ray_sort_keys
+
+        scene_lo = scene.node_min[0]
+        scene_hi = scene.node_max[0]
+
     def cond(state):
-        i, _, _, _, _, alive, _ = state
+        i, _, _, _, _, alive, _, _ = state
         return (i < n_bounces) & jnp.any(alive)
 
     def body(state):
-        i, origin, direction, ray_color, incoming, alive, seed = state
+        i, origin, direction, ray_color, incoming, alive, seed, orig = state
+
+        if reorder:
+            keys = ray_sort_keys(origin, direction, scene_lo, scene_hi, alive)
+            perm = jnp.argsort(keys)
+            origin, direction, ray_color, incoming, seed, orig = (
+                a[perm] for a in (origin, direction, ray_color, incoming, seed, orig)
+            )
+            alive = alive[perm]
 
         nearest = raycast_fn(origin, direction, alive)
         hit = finalize_hit(scene, origin, direction, nearest)
@@ -124,7 +143,7 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         seed = jnp.where(was_hit, seed_h, seed)
         # Terminate on emissive hit (fragment.glsl:338-340) or on miss.
         alive = was_hit & ~(hit.emission > 0.0)
-        return i + 1, origin, direction, ray_color, incoming, alive, seed
+        return i + 1, origin, direction, ray_color, incoming, alive, seed, orig
 
     state = (
         jnp.int32(0),
@@ -134,13 +153,19 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         jnp.zeros((R, 3), jnp.float32),
         jnp.ones((R,), bool),
         seed0,
+        jnp.arange(R, dtype=jnp.int32),
     )
     state = jax.lax.while_loop(cond, body, state)
-    return state[4], state[6]
+    incoming, seed, orig = state[4], state[6], state[7]
+    if reorder:
+        inv = jnp.argsort(orig)
+        incoming = incoming[inv]
+        seed = seed[inv]
+    return incoming, seed
 
 
 def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
-          rays_per_pixel: int, lambertian: bool):
+          rays_per_pixel: int, lambertian: bool, reorder: bool = False):
     """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366)."""
     run = partial(
         raytrace,
@@ -151,6 +176,7 @@ def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         sky_color=sky_color,
         n_bounces=n_bounces,
         lambertian=lambertian,
+        reorder=reorder,
     )
     if rays_per_pixel == 1:
         color, seed = run(seed0=seed0)

@@ -1,0 +1,64 @@
+"""Ray-coherence sort keys (Morton/Z-order + direction octant).
+
+The packet and Pallas traversals share one node pointer per ray block, so
+their cost is the union of the block members' node visits.  Primary rays
+arrive coherent (8x16 screen packets), but after a bounce the block members
+scatter across the scene and the union approaches the whole tree.  The
+wavefront fix: before each bounce's raycast, sort rays by a spatial key —
+
+    key = morton9(origin quantized to the scene AABB) << 3 | octant(dir)
+
+so consecutive 1024-ray blocks start near each other and fly the same way.
+Dead rays get the maximal key: they cluster into all-dead tail blocks whose
+traversal exits after a single root test.
+
+Reordering is exact: per-ray math is order-independent and each ray carries
+its RNG state; results are bit-identical to unsorted traversal.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_U = np.uint32
+
+
+def _spread3(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so bit i lands at position 3i
+    (standard Morton magic numbers, 32-bit)."""
+    x = x & _U(0x3FF)
+    x = (x | (x << _U(16))) & _U(0x030000FF)
+    x = (x | (x << _U(8))) & _U(0x0300F00F)
+    x = (x | (x << _U(4))) & _U(0x030C30C3)
+    x = (x | (x << _U(2))) & _U(0x09249249)
+    return x
+
+
+def morton3d(q: jnp.ndarray) -> jnp.ndarray:
+    """Interleave (..., 3) uint32 coordinates (low 10 bits each)."""
+    return (
+        _spread3(q[..., 0])
+        | (_spread3(q[..., 1]) << _U(1))
+        | (_spread3(q[..., 2]) << _U(2))
+    )
+
+
+def ray_sort_keys(origin, direction, lo, hi, alive=None) -> jnp.ndarray:
+    """uint32 coherence keys for rays; higher bits = origin locality.
+
+    Uses 9 bits per axis (27-bit Morton) + 3 direction-sign bits = 30 bits.
+    """
+    extent = jnp.maximum(hi - lo, np.float32(1e-6))
+    q = ((origin - lo) / extent * np.float32(512.0))
+    q = jnp.clip(q, 0.0, 511.0).astype(jnp.uint32)
+    key = morton3d(q) << _U(3)
+    octant = (
+        (direction[..., 0] < 0).astype(jnp.uint32) << _U(2)
+        | (direction[..., 1] < 0).astype(jnp.uint32) << _U(1)
+        | (direction[..., 2] < 0).astype(jnp.uint32)
+    )
+    key = key | octant
+    if alive is not None:
+        key = jnp.where(alive, key, _U(0xFFFFFFFF))
+    return key

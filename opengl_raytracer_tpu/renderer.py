@@ -57,6 +57,10 @@ def make_raycast_fn(scene, config: RenderConfig, traversal: str):
         return partial(raycast_bvh, scene, max_leaf_tris=config.max_leaf_tris)
     if traversal == "packet":
         return partial(raycast_packet, scene, max_leaf_tris=config.max_leaf_tris)
+    if traversal == "pallas":
+        from opengl_raytracer_tpu.ops.pallas_traversal import raycast_pallas
+
+        return partial(raycast_pallas, scene, max_leaf_tris=config.max_leaf_tris)
     raise ValueError(f"unknown traversal {traversal!r}")
 
 
@@ -75,7 +79,7 @@ class RenderState:
 
 def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
                   frame_number, sky_brightness, jitter_amount,
-                  px, py, raycast_fn):
+                  px, py, raycast_fn, reorder: bool = False):
     """Trace a flat batch of pixels; px/py int32 (R,), py in GL convention
     (0 = bottom row).  Returns (R, 3) linear color."""
     seed = rng.seed_pixels(px, py, frame_number)
@@ -104,6 +108,7 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         n_bounces=config.n_bounces,
         rays_per_pixel=config.rays_per_pixel,
         lambertian=config.lambertian,
+        reorder=reorder,
     )
     return color
 
@@ -153,6 +158,7 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     body = partial(
         render_pixels, scene, config, camera, frame_count,
         sky_brightness, jitter_amount, raycast_fn=raycast_fn,
+        reorder=traversal in ("packet", "pallas"),
     )
 
     if n_chunks == 1:
@@ -202,7 +208,14 @@ class Renderer:
 
         traversal = config.traversal
         if traversal == "auto":
-            traversal = "brute" if scene_data.num_tris <= _BRUTE_MAX_TRIS else "packet"
+            from opengl_raytracer_tpu.ops.pallas_traversal import _on_tpu
+
+            if scene_data.num_tris <= _BRUTE_MAX_TRIS:
+                traversal = "brute"
+            else:
+                # Pallas kernel on real TPUs; XLA packet path elsewhere
+                # (interpret-mode Pallas is far too slow for rendering).
+                traversal = "pallas" if _on_tpu() else "packet"
         self.traversal = traversal
 
         self._step = jax.jit(
