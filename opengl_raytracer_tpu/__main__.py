@@ -1,0 +1,128 @@
+"""Command-line entry point.
+
+The reference has no CLI — its knobs are hard-coded in the ``__main__``
+block (reference: main.py:447-470).  Here the same knobs (and a few more)
+are flags; the default invocation renders the reference's default scene
+headlessly and writes a PNG.
+
+    python -m opengl_raytracer_tpu --width 960 --height 540 --frames 32 \
+        --out render.png
+    python -m opengl_raytracer_tpu --interactive      # pygame window
+    python -m opengl_raytracer_tpu --obj path/to/model.obj --scale 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="opengl_raytracer_tpu",
+        description="TPU-native progressive path tracer",
+    )
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--bounces", type=int, default=7,
+                   help="bounce count (the loop runs bounces+1, like the reference)")
+    p.add_argument("--spp", type=int, default=1, help="rays per pixel per frame")
+    p.add_argument("--jitter", type=float, default=0.001)
+    p.add_argument("--no-lambertian", action="store_true")
+    p.add_argument("--sky", type=float, default=1.0, help="sky brightness")
+    p.add_argument("--tiles", type=int, default=1, help="tiles per axis")
+    p.add_argument("--frames", type=int, default=32,
+                   help="progressive frames to accumulate (headless)")
+    p.add_argument("--out", default=None, help="output PNG path")
+    p.add_argument("--dragon", default="stanford_minidragon",
+                   help="dragon asset name/path for the default scene")
+    p.add_argument("--obj", default=None,
+                   help="render a single OBJ (any path) instead of the default scene")
+    p.add_argument("--scale", type=float, default=1.0, help="scale for --obj")
+    p.add_argument("--cam-pos", type=float, nargs=3, default=None)
+    p.add_argument("--cam-dir", type=float, nargs=2, default=None,
+                   help="yaw pitch in degrees")
+    p.add_argument("--traversal", default="auto",
+                   choices=["auto", "brute", "bvh", "packet", "pallas"])
+    p.add_argument("--interactive", action="store_true",
+                   help="open a pygame window (needs a display)")
+    p.add_argument("--checkpoint", default=None,
+                   help="resume from / save to this .npz checkpoint")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from opengl_raytracer_tpu.app import App
+    from opengl_raytracer_tpu.models.mesh import Mesh
+    from opengl_raytracer_tpu.models.rect import Rect
+    from opengl_raytracer_tpu.models.scene import Scene
+    from opengl_raytracer_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    scene = None
+    cam_pos, cam_dir = args.cam_pos, args.cam_dir
+    if args.obj:
+        objs = [
+            Mesh([0, 0, 25], [0, 0, 0], args.obj, color=[0.8, 0.8, 0.8],
+                 roughness=1.0, scale=args.scale),
+            Rect([40, 0.2, 40], [0, -10, 25], [0, 0, 0], color=[0.7, 0.7, 0.7],
+                 roughness=1.0),
+        ]
+        scene = Scene(objs, verbose=True)
+        if cam_pos is None:
+            cam_pos = [0.0, 0.0, 0.0]
+        if cam_dir is None:
+            cam_dir = [0.0, 0.0]
+
+    import dataclasses
+
+    app = App(
+        window_size=(args.width, args.height),
+        bounces=args.bounces,
+        rays_per_pixel=args.spp,
+        jitter_amount=args.jitter,
+        lambertian=not args.no_lambertian,
+        skyIllumination=args.sky,
+        tileSize=args.tiles,
+        scene=scene,
+        dragon=args.dragon,
+        headless=not args.interactive,
+        max_frames=args.frames,
+        output=args.out,
+        run=False,
+    )
+    if args.traversal != "auto":
+        app.config = dataclasses.replace(app.config, traversal=args.traversal)
+        from opengl_raytracer_tpu.renderer import Renderer
+
+        app.renderer = Renderer(app.scene, app.config)
+        app.state = app.renderer.init_state()
+    if cam_pos is not None:
+        app.camPos = np.array(cam_pos, dtype=np.float32)
+    if cam_dir is not None:
+        app.camDir = np.array(cam_dir, dtype=np.float32)
+    app.camera = app._make_camera()
+
+    if args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            state, cp, cd = load_checkpoint(args.checkpoint)
+            app.state = state
+            if cp is not None:
+                app.camPos, app.camDir = cp.astype(np.float32), cd.astype(np.float32)
+                app.camera = app._make_camera()
+            print(f"Resumed from {args.checkpoint} at frame {state.frame_count}")
+
+    app.main()
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, app.state, app.camPos, app.camDir)
+        print(f"Checkpoint saved to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
