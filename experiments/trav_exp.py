@@ -96,20 +96,22 @@ def raycast_packet_inline(scene, origin, direction, active=None,
     return near, iters
 
 
-def run(tag, fn):
+def run(tag, fn, reps=4):
     out = fn()
     jax.block_until_ready(out)
-    # force readback sync
     t_arr = out[0].t if isinstance(out, tuple) else out.t
     _ = float(jnp.sum(t_arr == t_arr).astype(jnp.float32))
-    t0 = time.time()
-    out = fn()
-    t_arr = out[0].t if isinstance(out, tuple) else out.t
-    s = float(jnp.sum(jnp.where(t_arr < 1e29, t_arr, 0.0)))
-    dt = time.time() - t0
+    best = 1e9
+    s = 0.0
+    for _i in range(reps):
+        t0 = time.time()
+        out = fn()
+        t_arr = out[0].t if isinstance(out, tuple) else out.t
+        s = float(jnp.sum(jnp.where(t_arr < 1e29, t_arr, 0.0)))
+        best = min(best, time.time() - t0)
     it = int(out[1]) if isinstance(out, tuple) else -1
-    print(f"{tag}: {dt*1000:.1f} ms, iters={it}, checksum={s:.1f}", flush=True)
-    return dt
+    print(f"{tag}: {best*1000:.1f} ms, iters={it}, checksum={s:.1f}", flush=True)
+    return best
 
 
 if __name__ == "__main__":

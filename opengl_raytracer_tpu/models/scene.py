@@ -60,10 +60,10 @@ class SceneData(NamedTuple):
     # Packed records for the Pallas kernel (ops/pallas_traversal.py):
     # VMEM-tiling-aware layout — 8 triangles per 128-lane row, leaves
     # aligned to row starts so a leaf is one contiguous sublane load.
-    pl_geom: jnp.ndarray  # (N, 8) f32 [min.xyz, max.xyz, 0, 0]
-    pl_meta: jnp.ndarray  # (N, 8) i32 [miss, first_row, count, 0...]
-    pl_tri_rows: jnp.ndarray  # (T_rows, 128) f32, 8 x 16-lane tri records
-    pl_remap: jnp.ndarray  # (T_rows * 8,) i32 aligned slot -> permuted tri
+    pw_tiles: jnp.ndarray  # (W/8, 8, 128) f32 wide-node children bounds
+    pw_entry: jnp.ndarray  # (W, 8) i32 pre-encoded child stack entries
+    pl_tri_tiles: jnp.ndarray  # (G, 8, 128) f32 octet tiles: tris on sublanes
+    pl_remap: jnp.ndarray  # (slots,) i32 aligned slot -> permuted tri
 
     @property
     def num_tris(self) -> int:
@@ -212,25 +212,25 @@ class Scene:
             node_count = np.array([self.total_triangles], dtype=np.int32)
 
         N = node_miss.shape[0]
-        node_geom = np.zeros((N, 8), np.float32)
-        node_geom[:, 0:3] = node_min
-        node_geom[:, 3:6] = node_max
 
-        # Row-aligned triangle table for the Pallas kernel: each leaf's
+        # Octet-aligned triangle table for the Pallas kernel: each leaf's
         # triangles are copied to an 8-aligned slot range (padding slots are
-        # zero/degenerate), so leaves are whole (8,128)-tile rows.
-        tpr = 8  # triangles per 128-lane row
-        leaf_rows_pad = -(-self.max_leaf_tris // tpr)
+        # zero/degenerate), then packed into (8, 128) tiles with triangles
+        # on SUBLANES: slot s = g*64 + k*8 + j -> tile g, sublane j, lanes
+        # [k*16, k*16+16).  See ops/pallas_traversal.py.
+        tpr = 8  # triangles per octet
+        leaf_octets_pad = -(-self.max_leaf_tris // tpr)
         leaf_ids = np.nonzero(node_count > 0)[0]
         counts = node_count[leaf_ids].astype(np.int64)
         aligned_counts = -(-counts // tpr) * tpr
         offsets = np.concatenate(([0], np.cumsum(aligned_counts)))
-        t_aligned = int(offsets[-1]) + leaf_rows_pad * tpr  # overrun slack
+        # Slack so a leaf's fixed-octet load can never run off the table,
+        # then round up to whole 64-triangle tiles.
+        t_aligned = int(offsets[-1]) + leaf_octets_pad * tpr
+        t_aligned = -(-t_aligned // 64) * 64
 
-        node_meta = np.zeros((N, 8), np.int32)
-        node_meta[:, 0] = node_miss
-        node_meta[leaf_ids, 1] = (offsets[:-1] // tpr).astype(np.int32)
-        node_meta[:, 2] = node_count
+        leaf_first_octet = np.zeros(N, np.int32)
+        leaf_first_octet[leaf_ids] = (offsets[:-1] // tpr).astype(np.int32)
 
         pl_remap = np.zeros(t_aligned, np.int64)
         valid = np.zeros(t_aligned, bool)
@@ -245,7 +245,26 @@ class Scene:
         tri16[:, 9:12] = face
         aligned16 = np.zeros((t_aligned, 16), np.float32)
         aligned16[valid] = tri16[pl_remap[valid]]
-        pl_tri_rows = aligned16.reshape(t_aligned // tpr, 128)
+        # (G, octet k, tri j, comp c) -> (G, sublane j, lane k*16+c)
+        pl_tri_tiles = (
+            aligned16.reshape(t_aligned // 64, 8, 8, 16)
+            .transpose(0, 2, 1, 3)
+            .reshape(t_aligned // 64, 8, 128)
+        )
+
+        # 8-wide collapse for the Pallas kernel (ops/wide_bvh.py).
+        from opengl_raytracer_tpu.ops.bvh import BVH as _BVH
+        from opengl_raytracer_tpu.ops.wide_bvh import collapse_wide
+
+        if self.bvh is not None:
+            binary = self.bvh
+        else:
+            binary = _BVH(
+                node_min=node_min, node_max=node_max, node_miss=node_miss,
+                node_first=node_first, node_count=node_count,
+                perm=perm, depth=0,
+            )
+        wide = collapse_wide(binary, leaf_first_octet)
 
         self._device = SceneData(
             v0=jnp.asarray(v0),
@@ -264,9 +283,9 @@ class Scene:
             node_miss=jnp.asarray(node_miss),
             node_first=jnp.asarray(node_first),
             node_count=jnp.asarray(node_count),
-            pl_geom=jnp.asarray(node_geom),
-            pl_meta=jnp.asarray(node_meta),
-            pl_tri_rows=jnp.asarray(pl_tri_rows),
+            pw_tiles=jnp.asarray(wide.tiles),
+            pw_entry=jnp.asarray(wide.entry),
+            pl_tri_tiles=jnp.asarray(pl_tri_tiles),
             pl_remap=jnp.asarray(pl_remap.astype(np.int32)),
         )
         return self._device

@@ -113,12 +113,20 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         i, origin, direction, ray_color, incoming, alive, seed, orig = state
 
         if reorder:
-            keys = ray_sort_keys(origin, direction, scene_lo, scene_hi, alive)
-            perm = jnp.argsort(keys)
-            origin, direction, ray_color, incoming, seed, orig = (
-                a[perm] for a in (origin, direction, ray_color, incoming, seed, orig)
+            # Primary rays (i == 0) arrive screen-coherent; sorting only
+            # pays off on bounce rays.
+            def do_sort(args):
+                origin, direction, ray_color, incoming, alive, seed, orig = args
+                keys = ray_sort_keys(origin, direction, scene_lo, scene_hi, alive)
+                perm = jnp.argsort(keys)
+                return tuple(a[perm] for a in args)
+
+            (origin, direction, ray_color, incoming, alive, seed, orig) = (
+                jax.lax.cond(
+                    i > 0, do_sort, lambda a: a,
+                    (origin, direction, ray_color, incoming, alive, seed, orig),
+                )
             )
-            alive = alive[perm]
 
         nearest = raycast_fn(origin, direction, alive)
         hit = finalize_hit(scene, origin, direction, nearest)

@@ -1,0 +1,160 @@
+"""8-wide BVH: host-side collapse of the binary BVH for the Pallas kernel.
+
+Why: the Pallas traversal pays a fixed per-iteration cost (~250 ns measured
+on v5e: while-loop control, scalar loads, the cross-tile any-reduction)
+that dwarfs the slab arithmetic.  An 8-ary node amortizes that fixed cost
+over 8 child AABB tests per iteration — the children sit on VPU *sublanes*
+(the same (8, 16)-in-(8, 128) one-hot-select layout as triangle octets), so
+one iteration tests 8 children against all rays with dense vector math.
+
+Collapse rule: from each binary node, repeatedly expand the internal child
+whose subtree is largest until 8 slots are filled (or all slots are
+leaves).  Each wide-node child is either another wide node or a binary
+leaf (an octet-aligned triangle range, shared with the octet leaf tables).
+
+Layout (device arrays built in Scene.send):
+
+* ``pw_tiles (ceil(W/8), 8, 128) f32`` — child bounds: wide node w, child
+  j at tile ``w//8``, sublane j, lane group ``w%8``:
+  [bmin.xyz, bmax.xyz, pad x10].  Empty child slots get an inverted box
+  (+inf min, -inf max) that can never be hit.
+* ``pw_entry (W, 8) i32`` — per-child stack entry, pre-encoded so the
+  kernel pushes it verbatim: internal child -> its wide index (>= 0);
+  leaf child -> ``-(first_octet * 64 + count) - 1`` (< 0); empty -> the
+  root sentinel INT32_MIN (never pushed because its box never hits).
+
+Traversal contract (kernel side): stack starts holding entry 0 (the root
+wide node); pop an entry, if >= 0 expand (test 8 children, push hit
+entries), else decode and intersect the leaf's octets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from opengl_raytracer_tpu.ops.bvh import BVH
+
+WIDTH = 8
+EMPTY_ENTRY = np.int32(-(2**31))
+
+
+class WideBVH(NamedTuple):
+    tiles: np.ndarray  # (ceil(W/8), 8, 128) f32
+    entry: np.ndarray  # (W, 8) i32
+    num_nodes: int
+    max_depth: int  # of the wide tree
+    max_stack: int  # safe stack bound: max_depth * (WIDTH - 1) + 2
+
+
+def encode_leaf(first_octet: int, count: int) -> int:
+    # Only the octet start is needed: leaf padding slots are degenerate
+    # (zero-face) triangles the intersector's epsilon test rejects, and a
+    # fixed-octet over-read past a short leaf only tests neighboring REAL
+    # triangles — harmless for a global nearest-hit query.
+    del count
+    return -first_octet - 1
+
+
+def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
+    """Collapse a binary BVH (ops/bvh.py layout) into the 8-wide layout.
+
+    leaf_first_octet: per-binary-node octet start (only meaningful for
+    leaves) — the octet-aligned slot table built by Scene.send.
+    """
+    N = bvh.num_nodes
+    # Reconstruct binary children from the preorder + miss links:
+    # internal node i has left = i + 1 and right = miss[left].
+    is_leaf = bvh.node_count > 0
+
+    # Subtree sizes (preorder: subtree of i spans [i, skip_i) where skip_i =
+    # miss[i] clipped to N).
+    span = np.minimum(bvh.node_miss, N) - np.arange(N)
+
+    children: list[list[int]] = []  # wide-node -> list of binary node ids
+    wide_of_binary: dict[int, int] = {}
+
+    def make_wide(binary_root: int) -> int:
+        """Allocate a wide node whose slots cover binary_root's subtree."""
+        slots = [int(binary_root)]
+        while len(slots) < WIDTH:
+            # expand the internal slot with the largest subtree
+            best, best_size = -1, 0
+            for k, b in enumerate(slots):
+                if not is_leaf[b] and span[b] > best_size:
+                    best, best_size = k, int(span[b])
+            if best < 0:
+                break
+            b = slots.pop(best)
+            left = b + 1
+            right = int(bvh.node_miss[left])
+            slots.extend([left, right])
+        idx = len(children)
+        children.append(slots)
+        return idx
+
+    # BFS so wide indices are allocated root-first.
+    root = make_wide(0)
+    queue = [root]
+    depth_of = {root: 0}
+    max_depth = 0
+    qi = 0
+    while qi < len(queue):
+        w = queue[qi]
+        qi += 1
+        for b in children[w]:
+            if not is_leaf[b]:
+                cw = make_wide(b)
+                wide_of_binary[b] = cw
+                depth_of[cw] = depth_of[w] + 1
+                max_depth = max(max_depth, depth_of[cw])
+                queue.append(cw)
+
+    W = len(children)
+    Wp = -(-W // 8) * 8
+    tiles = np.zeros((Wp // 8, 8, 128), np.float32)
+    # Empty slots: inverted boxes that can never be hit.
+    for g in range(8):
+        tiles[:, :, g * 16:g * 16 + 3] = np.inf
+        tiles[:, :, g * 16 + 3:g * 16 + 6] = -np.inf
+    entry = np.full((W, 8), EMPTY_ENTRY, np.int32)
+
+    for w, slots in enumerate(children):
+        tile, group = w // 8, (w % 8) * 16
+        for j, b in enumerate(slots):
+            tiles[tile, j, group:group + 3] = bvh.node_min[b]
+            tiles[tile, j, group + 3:group + 6] = bvh.node_max[b]
+            if is_leaf[b]:
+                entry[w, j] = encode_leaf(
+                    int(leaf_first_octet[b]), int(bvh.node_count[b])
+                )
+            else:
+                entry[w, j] = wide_of_binary[b]
+
+    return WideBVH(
+        tiles=tiles,
+        entry=entry,
+        num_nodes=W,
+        max_depth=max_depth,
+        max_stack=(max_depth + 2) * (WIDTH - 1) + 4,
+    )
+
+
+def validate_wide(wide: WideBVH, bvh: BVH) -> None:
+    """Every binary leaf must be reachable exactly once via wide entries."""
+    is_leaf = bvh.node_count > 0
+    seen = []
+    stack = [0]
+    while stack:
+        w = stack.pop()
+        for e in wide.entry[w]:
+            e = int(e)
+            if e == int(EMPTY_ENTRY):
+                continue
+            if e >= 0:
+                stack.append(e)
+            else:
+                seen.append(e)
+    assert len(seen) == int(is_leaf.sum()), (len(seen), int(is_leaf.sum()))
+    assert len(set(seen)) == len(seen), "duplicate leaf entries"
