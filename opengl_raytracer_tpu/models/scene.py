@@ -62,6 +62,8 @@ class SceneData(NamedTuple):
     # aligned to row starts so a leaf is one contiguous sublane load.
     pw_tiles: jnp.ndarray  # (W/8, 8, 128) f32 wide-node children bounds
     pw_entry: jnp.ndarray  # (W, 8) i32 pre-encoded child stack entries
+    pw_entry_ord: jnp.ndarray  # (8, W, 8) i32 per-octant far-first entries
+    pw_slot_ord: jnp.ndarray  # (8, W, 8) i32 child slot per ordered entry
     pl_tri_tiles: jnp.ndarray  # (G, 8, 128) f32 octet tiles: tris on sublanes
     pl_remap: jnp.ndarray  # (slots,) i32 aligned slot -> permuted tri
 
@@ -285,6 +287,8 @@ class Scene:
             node_count=jnp.asarray(node_count),
             pw_tiles=jnp.asarray(wide.tiles),
             pw_entry=jnp.asarray(wide.entry),
+            pw_entry_ord=jnp.asarray(wide.entry_ord),
+            pw_slot_ord=jnp.asarray(wide.slot_ord),
             pl_tri_tiles=jnp.asarray(pl_tri_tiles),
             pl_remap=jnp.asarray(pl_remap.astype(np.int32)),
         )

@@ -63,7 +63,7 @@ _INT_BIG = np.int32(2**31 - 1)
 
 
 def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
-                     pw_tiles, pw_entry, tri_tiles,
+                     pw_tiles, pw_entry_ord, pw_slot_ord, tri_tiles,
                      t_out, slot_out,
                      stack,
                      *, leaf_octets: int):
@@ -82,6 +82,15 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
                 k == kk, tile[:, kk * TRI_LANES:(kk + 1) * TRI_LANES], 0.0
             )
         return sel
+
+    # Dominant direction octant of this (coherence-sorted) block picks the
+    # precomputed far-first child push order — near-first traversal with no
+    # per-iteration sorting.
+    octant = (
+        ((jnp.sum(d_x) < 0.0).astype(jnp.int32) << 2)
+        | ((jnp.sum(d_y) < 0.0).astype(jnp.int32) << 1)
+        | (jnp.sum(d_z) < 0.0).astype(jnp.int32)
+    )
 
     stack[0] = jnp.int32(0)  # root wide node
 
@@ -131,15 +140,18 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
             bits = jnp.sum(
                 jnp.where(child_any, jnp.int32(1) << sub_iota, 0)
             )  # scalar bitmask
-            ent = pw_entry[w]  # (8,) i32
 
-            for j in range(_SUB):
+            ent_o = pw_entry_ord[octant, w]  # (8,) entries, far-first
+            slot_o = pw_slot_ord[octant, w]  # (8,) their child slots
+
+            for i in range(_SUB):
+                j = slot_o[i]
                 push = ((bits >> j) & 1) != 0
-                push = push & (ent[j] != EMPTY_ENTRY)
+                push = push & (ent_o[i] != EMPTY_ENTRY)
 
                 @pl.when(push & (sp < STACK_SIZE))
                 def _():
-                    stack[sp] = ent[j]
+                    stack[sp] = ent_o[i]
 
                 sp = sp + push.astype(jnp.int32)
             return bt, bslot, sp
@@ -266,7 +278,8 @@ def raycast_pallas(scene, origin, direction, active=None,
         grid=(grid,),
         in_specs=[ray_spec] * 7 + [
             whole((WT, _SUB, _LANE)),
-            whole((W, _SUB)),
+            whole((8, W, _SUB)),
+            whole((8, W, _SUB)),
             whole((G, _SUB, _LANE)),
         ],
         out_specs=[ray_spec] * 2,
@@ -274,7 +287,8 @@ def raycast_pallas(scene, origin, direction, active=None,
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, t0,
-      scene.pw_tiles, scene.pw_entry, scene.pl_tri_tiles)
+      scene.pw_tiles, scene.pw_entry_ord, scene.pw_slot_ord,
+      scene.pl_tri_tiles)
 
     t = t.reshape(Rp)[:R]
     slot = slot.reshape(Rp)[:R]

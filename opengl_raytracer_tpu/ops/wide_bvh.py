@@ -43,6 +43,8 @@ EMPTY_ENTRY = np.int32(-(2**31))
 class WideBVH(NamedTuple):
     tiles: np.ndarray  # (ceil(W/8), 8, 128) f32
     entry: np.ndarray  # (W, 8) i32
+    entry_ord: np.ndarray  # (8, W, 8) i32: entries in per-octant far-first order
+    slot_ord: np.ndarray  # (8, W, 8) i32: child slot of each ordered entry
     num_nodes: int
     max_depth: int  # of the wide tree
     max_stack: int  # safe stack bound: max_depth * (WIDTH - 1) + 2
@@ -114,10 +116,13 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
     W = len(children)
     Wp = -(-W // 8) * 8
     tiles = np.zeros((Wp // 8, 8, 128), np.float32)
-    # Empty slots: inverted boxes that can never be hit.
+    # Empty slots: FINITE inverted boxes that can never be hit.  Not +/-inf:
+    # the kernel's one-hot lane-group select lowers to an arithmetic blend
+    # on the VPU, and 0 * inf = NaN would poison the selected group.
+    _FAR = np.float32(1e30)
     for g in range(8):
-        tiles[:, :, g * 16:g * 16 + 3] = np.inf
-        tiles[:, :, g * 16 + 3:g * 16 + 6] = -np.inf
+        tiles[:, :, g * 16:g * 16 + 3] = _FAR
+        tiles[:, :, g * 16 + 3:g * 16 + 6] = -_FAR
     entry = np.full((W, 8), EMPTY_ENTRY, np.int32)
 
     for w, slots in enumerate(children):
@@ -132,9 +137,39 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
             else:
                 entry[w, j] = wide_of_binary[b]
 
+    # Per-octant far-first push order: a DFS stack pops last-pushed first,
+    # so pushing children far-to-near along the ray's dominant direction
+    # yields near-first traversal — best_t tightens early and prunes far
+    # subtrees.  The renderer's coherence sort makes ray blocks octant-pure,
+    # so the kernel picks one order per block with zero per-iteration cost.
+    centroids = np.zeros((W, WIDTH, 3), np.float32)
+    finite = np.zeros((W, WIDTH), bool)
+    for w in range(W):
+        tile, group = w // 8, (w % 8) * 16
+        lo = tiles[tile, :, group:group + 3]
+        hi = tiles[tile, :, group + 3:group + 6]
+        centroids[w] = (lo + hi) * 0.5
+        finite[w] = lo[:, 0] <= hi[:, 0]
+
+    entry_ord = np.zeros((8, W, WIDTH), np.int32)
+    slot_ord = np.zeros((8, W, WIDTH), np.int32)
+    for o in range(8):
+        d = np.array([
+            -1.0 if (o >> 2) & 1 else 1.0,
+            -1.0 if (o >> 1) & 1 else 1.0,
+            -1.0 if o & 1 else 1.0,
+        ], np.float32)
+        key = centroids @ d  # (W, 8)
+        key = np.where(finite, key, np.inf)  # empty slots pushed first
+        order = np.argsort(-key, axis=1, kind="stable")  # far first
+        slot_ord[o] = order.astype(np.int32)
+        entry_ord[o] = np.take_along_axis(entry, order, axis=1)
+
     return WideBVH(
         tiles=tiles,
         entry=entry,
+        entry_ord=entry_ord,
+        slot_ord=slot_ord,
         num_nodes=W,
         max_depth=max_depth,
         max_stack=(max_depth + 2) * (WIDTH - 1) + 4,

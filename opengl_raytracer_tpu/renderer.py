@@ -145,7 +145,11 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     else:
         px, py = px.reshape(-1), py.reshape(-1)
 
-    chunk = config.ray_chunk or min(R, 128 * 1024)
+    # The Pallas path keeps all per-ray state in-kernel, so whole-frame
+    # chunks amortize fixed costs and let the coherence sort work globally;
+    # the XLA paths carry state in HBM and need bounded chunks.
+    default_chunk = 4 * 1024 * 1024 if traversal == "pallas" else 128 * 1024
+    chunk = config.ray_chunk or min(R, default_chunk)
     chunk = min(chunk, R)
     if traversal == "packet":
         chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
