@@ -87,7 +87,7 @@ class Scene:
     def __init__(
         self,
         objects: list,
-        max_leaf_tris: int = 16,
+        max_leaf_tris: int = 32,
         build_bvh: bool = True,
         bvh_method: str = "sah",
         verbose: bool = False,

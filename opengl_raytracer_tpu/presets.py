@@ -46,7 +46,7 @@ def default_objects(dragon: str = "stanford_minidragon") -> list:
     ]
 
 
-def default_scene(dragon: str = "stanford_minidragon", max_leaf_tris: int = 4,
+def default_scene(dragon: str = "stanford_minidragon", max_leaf_tris: int = 32,
                   **scene_kw) -> Scene:
     """The reference's default scene, in its Scene order (main.py:101-111)."""
     return Scene(default_objects(dragon), max_leaf_tris=max_leaf_tris, **scene_kw)

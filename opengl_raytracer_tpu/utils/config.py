@@ -52,7 +52,7 @@ class RenderConfig:
     lambertian: bool = True
     sky_brightness: float = 1.0
     tile_size: int = 1
-    max_leaf_tris: int = 16
+    max_leaf_tris: int = 32
     traversal: str = "auto"
     ray_chunk: int = 0
 
