@@ -68,37 +68,39 @@ def baseline_configs() -> dict[str, dict]:
     from opengl_raytracer_tpu.models.trisoup import Triangles  # noqa: F401
 
     return {
+        # Asset frames (measured): sphere r~1 (origin), knight ~4.7 tall
+        # along +z, dragon ~150 wide z-up, ground 20x20 plane at y=0.
         "sphere_256": dict(
-            objects=lambda: [Mesh([0, 0, 30], [0, 0, 0], "sphere",
+            objects=lambda: [Mesh([0, 0, 12], [0, 0, 0], "sphere",
                                   color=[0.9, 0.4, 0.3], roughness=1, scale=7)],
             config=RenderConfig(width=256, height=256, bounces=1),
             cam_pos=(0.0, 0.0, 0.0), cam_dir=(0.0, 0.0),
         ),
         "ground_car_512": dict(
             objects=lambda: [
-                Mesh([0, -2, 20], [0, 0, 0], "ground", color=[0.6, 0.6, 0.55],
-                     roughness=1, scale=20),
+                Mesh([0, -2, 10], [0, 0, 0], "ground", color=[0.6, 0.6, 0.55],
+                     roughness=1, scale=2),
                 # models/car/car.obj is stripped from the mount; supply via
                 # OGLRT_MODELS_PATH at eval time, else knight stands in.
-                Mesh([0, -2, 20], [0, 180, 0], "car", color=[0.7, 0.1, 0.1],
+                Mesh([0, -2, 14], [0, 180, 0], "car", color=[0.7, 0.1, 0.1],
                      roughness=0.5, scale=2),
             ],
             fallback_objects=lambda: [
-                Mesh([0, -2, 20], [0, 0, 0], "ground", color=[0.6, 0.6, 0.55],
-                     roughness=1, scale=20),
-                Mesh([0, -2, 20], [0, 180, 0], "knight", color=[0.7, 0.1, 0.1],
+                Mesh([0, -2, 10], [0, 0, 0], "ground", color=[0.6, 0.6, 0.55],
+                     roughness=1, scale=2),
+                Mesh([0, -2, 14], [-90, 0, 0], "knight", color=[0.7, 0.1, 0.1],
                      roughness=0.5, scale=2),
             ],
             config=RenderConfig(width=512, height=512, bounces=2),
-            cam_pos=(0.0, 2.0, 0.0), cam_dir=(0.0, -10.0),
+            cam_pos=(0.0, 3.0, 0.0), cam_dir=(0.0, -12.0),
         ),
         "knight_airplane_1024": dict(
             objects=lambda: [
-                Mesh([-4, 0, 20], [0, 30, 0], "knight", color=[0.8, 0.8, 0.85],
-                     roughness=1, scale=3),
+                Mesh([-6, -3, 18], [-90, 0, 0], "knight", color=[0.8, 0.8, 0.85],
+                     roughness=1, scale=2),
                 # airplane OBJs stripped; dragon stands in as second object
-                Mesh([6, 0, 25], [0, -20, 0], "dragon", color=[0.5, 0.6, 0.9],
-                     roughness=0.8, scale=0.5),
+                Mesh([8, -2, 24], [-90, 0, 0], "dragon", color=[0.5, 0.6, 0.9],
+                     roughness=0.8, scale=0.08),
             ],
             config=RenderConfig(width=1024, height=1024, bounces=3),
             cam_pos=(0.0, 2.0, 0.0), cam_dir=(0.0, -5.0),
