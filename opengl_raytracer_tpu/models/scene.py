@@ -60,10 +60,9 @@ class SceneData(NamedTuple):
     # Packed records for the Pallas kernel (ops/pallas_traversal.py):
     # VMEM-tiling-aware layout — 8 triangles per 128-lane row, leaves
     # aligned to row starts so a leaf is one contiguous sublane load.
-    pw_tiles: jnp.ndarray  # (W/8, 8, 128) f32 wide-node children bounds
-    pw_entry: jnp.ndarray  # (W, 8) i32 pre-encoded child stack entries
-    pw_entry_ord: jnp.ndarray  # (8, W, 8) i32 per-octant far-first entries
-    pw_slot_ord: jnp.ndarray  # (8, W, 8) i32 child slot per ordered entry
+    pw_tiles: jnp.ndarray  # (W/8, 8, 128) f32: children bounds + packed
+    #   per-octant ordered push entries in the free lanes (ops/wide_bvh.py)
+    pw_entry: jnp.ndarray  # (W, 8) i32 child entries in slot order
     pl_tri_tiles: jnp.ndarray  # (G, 8, 128) f32 octet tiles: tris on sublanes
     pl_remap: jnp.ndarray  # (slots,) i32 aligned slot -> permuted tri
 
@@ -287,8 +286,6 @@ class Scene:
             node_count=jnp.asarray(node_count),
             pw_tiles=jnp.asarray(wide.tiles),
             pw_entry=jnp.asarray(wide.entry),
-            pw_entry_ord=jnp.asarray(wide.entry_ord),
-            pw_slot_ord=jnp.asarray(wide.slot_ord),
             pl_tri_tiles=jnp.asarray(pl_tri_tiles),
             pl_remap=jnp.asarray(pl_remap.astype(np.int32)),
         )

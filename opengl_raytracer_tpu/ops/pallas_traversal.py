@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from opengl_raytracer_tpu.ops.intersect import BIG, EPS, Nearest, mt_single
-from opengl_raytracer_tpu.ops.wide_bvh import EMPTY_ENTRY
+from opengl_raytracer_tpu.ops.wide_bvh import EMPTY_PACKED, ORD_LANE0
 
 BLOCK = 1024  # rays per grid step: an (8, 128) VPU tile
 _SUB, _LANE = 8, 128
@@ -63,7 +63,7 @@ _INT_BIG = np.int32(2**31 - 1)
 
 
 def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
-                     pw_tiles, pw_entry_ord, pw_slot_ord, tri_tiles,
+                     pw_tiles, tri_tiles,
                      t_out, slot_out,
                      stack,
                      *, leaf_octets: int):
@@ -141,17 +141,29 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
                 jnp.where(child_any, jnp.int32(1) << sub_iota, 0)
             )  # scalar bitmask
 
-            ent_o = pw_entry_ord[octant, w]  # (8,) entries, far-first
-            slot_o = pw_slot_ord[octant, w]  # (8,) their child slots
+            # Ordered push entries live in the tile's free lanes: one lane
+            # per octant, ordered rank on the sublane (ops/wide_bvh.py).
+            # Select this block's octant lane branch-free, then pull each
+            # rank's packed value out with a masked-sum reduction (the
+            # Mosaic-safe scalar extraction from computed vectors).
+            ord_col = cb[:, ORD_LANE0:ORD_LANE0 + 1] * 0.0
+            for oo in range(_SUB):
+                ord_col = ord_col + jnp.where(
+                    octant == oo, cb[:, ORD_LANE0 + oo:ORD_LANE0 + oo + 1], 0.0
+                )
 
             for i in range(_SUB):
-                j = slot_o[i]
+                packed = jnp.sum(
+                    jnp.where(sub_iota == i, ord_col, 0.0)
+                ).astype(jnp.int32)
+                ent = packed >> 3  # arithmetic shift = floor div for negatives
+                j = packed & 7
                 push = ((bits >> j) & 1) != 0
-                push = push & (ent_o[i] != EMPTY_ENTRY)
+                push = push & (ent != EMPTY_PACKED)
 
                 @pl.when(push & (sp < STACK_SIZE))
                 def _():
-                    stack[sp] = ent_o[i]
+                    stack[sp] = ent
 
                 sp = sp + push.astype(jnp.int32)
             return bt, bslot, sp
@@ -278,8 +290,6 @@ def raycast_pallas(scene, origin, direction, active=None,
         grid=(grid,),
         in_specs=[ray_spec] * 7 + [
             whole((WT, _SUB, _LANE)),
-            whole((8, W, _SUB)),
-            whole((8, W, _SUB)),
             whole((G, _SUB, _LANE)),
         ],
         out_specs=[ray_spec] * 2,
@@ -287,8 +297,7 @@ def raycast_pallas(scene, origin, direction, active=None,
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, t0,
-      scene.pw_tiles, scene.pw_entry_ord, scene.pw_slot_ord,
-      scene.pl_tri_tiles)
+      scene.pw_tiles, scene.pl_tri_tiles)
 
     t = t.reshape(Rp)[:R]
     slot = slot.reshape(Rp)[:R]

@@ -41,13 +41,24 @@ EMPTY_ENTRY = np.int32(-(2**31))
 
 
 class WideBVH(NamedTuple):
-    tiles: np.ndarray  # (ceil(W/8), 8, 128) f32
-    entry: np.ndarray  # (W, 8) i32
-    entry_ord: np.ndarray  # (8, W, 8) i32: entries in per-octant far-first order
-    slot_ord: np.ndarray  # (8, W, 8) i32: child slot of each ordered entry
+    tiles: np.ndarray  # (ceil(W/8), 8, 128) f32; see lane layout below
+    entry: np.ndarray  # (W, 8) i32 (slot order; kept for validation/tests)
     num_nodes: int
     max_depth: int  # of the wide tree
     max_stack: int  # safe stack bound: max_depth * (WIDTH - 1) + 2
+
+
+# Lane layout of a node's 16-lane group within its (8, 128) tile, per child
+# sublane j: lanes 0-2 bmin, 3-5 bmax, 6-13 the per-octant ordered push
+# entries (see below), 14-15 pad.
+ORD_LANE0 = 6
+
+# Ordered push entries are stored as EXACT-INTEGER float32 values
+# (entry * 8 + slot), NOT bitcasts: the kernel's one-hot lane-group select
+# lowers to arithmetic blends where 0 * NaN/inf poisons the sum, and values
+# below 2^24 are exact in f32.  |entry| must stay under 2^21.
+PACK_LIMIT = 1 << 21
+EMPTY_PACKED = -(1 << 20)  # decoded entry sentinel for empty slots
 
 
 def encode_leaf(first_octet: int, count: int) -> int:
@@ -142,6 +153,12 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
     # yields near-first traversal — best_t tightens early and prunes far
     # subtrees.  The renderer's coherence sort makes ray blocks octant-pure,
     # so the kernel picks one order per block with zero per-iteration cost.
+    # The ordered (entry, slot) pairs are packed into the tiles' free lanes
+    # (ORD_LANE0..+7, one lane per octant, one ordered rank per sublane) as
+    # exact-integer floats — no extra arrays, no 128-lane padding waste.
+    if W >= PACK_LIMIT // 8:
+        raise ValueError(f"wide BVH too large to pack ordered entries ({W})")
+
     centroids = np.zeros((W, WIDTH, 3), np.float32)
     finite = np.zeros((W, WIDTH), bool)
     for w in range(W):
@@ -151,8 +168,7 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
         centroids[w] = (lo + hi) * 0.5
         finite[w] = lo[:, 0] <= hi[:, 0]
 
-    entry_ord = np.zeros((8, W, WIDTH), np.int32)
-    slot_ord = np.zeros((8, W, WIDTH), np.int32)
+    packed_empty = EMPTY_PACKED * 8
     for o in range(8):
         d = np.array([
             -1.0 if (o >> 2) & 1 else 1.0,
@@ -160,16 +176,21 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
             -1.0 if o & 1 else 1.0,
         ], np.float32)
         key = centroids @ d  # (W, 8)
-        key = np.where(finite, key, np.inf)  # empty slots pushed first
+        key = np.where(finite, key, np.inf)  # empty slots sorted first
         order = np.argsort(-key, axis=1, kind="stable")  # far first
-        slot_ord[o] = order.astype(np.int32)
-        entry_ord[o] = np.take_along_axis(entry, order, axis=1)
+        ent_o = np.take_along_axis(entry, order, axis=1).astype(np.int64)
+        packed = np.where(
+            ent_o == np.int64(EMPTY_ENTRY), packed_empty, ent_o * 8 + order
+        )
+        assert np.abs(packed).max() < (1 << 24)
+        for w in range(W):
+            tile, group = w // 8, (w % 8) * 16
+            # ordered rank i on sublane i, octant o's lane
+            tiles[tile, :, group + ORD_LANE0 + o] = packed[w].astype(np.float32)
 
     return WideBVH(
         tiles=tiles,
         entry=entry,
-        entry_ord=entry_ord,
-        slot_ord=slot_ord,
         num_nodes=W,
         max_depth=max_depth,
         max_stack=(max_depth + 2) * (WIDTH - 1) + 4,

@@ -216,10 +216,26 @@ class Renderer:
 
             if scene_data.num_tris <= _BRUTE_MAX_TRIS:
                 traversal = "brute"
+            elif not _on_tpu():
+                # interpret-mode Pallas is far too slow for rendering
+                traversal = "packet"
             else:
-                # Pallas kernel on real TPUs; XLA packet path elsewhere
-                # (interpret-mode Pallas is far too slow for rendering).
-                traversal = "pallas" if _on_tpu() else "packet"
+                # The Pallas kernel keeps the whole scene in VMEM (~16 MB
+                # scoped budget); very large scenes fall back to the XLA
+                # packet path rather than failing to compile.
+                scene_bytes = (
+                    scene_data.pl_tri_tiles.nbytes + scene_data.pw_tiles.nbytes
+                )
+                if scene_bytes <= 13 * 1024 * 1024:
+                    traversal = "pallas"
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"scene tables ({scene_bytes / 1e6:.1f} MB) exceed the "
+                        f"VMEM budget; using the slower XLA packet traversal"
+                    )
+                    traversal = "packet"
         self.traversal = traversal
 
         self._step = jax.jit(

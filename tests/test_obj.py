@@ -123,6 +123,46 @@ def test_vertex_with_extra_fields(tmp_path):
     np.testing.assert_allclose(out[0, :3], [1, 2, 3])
 
 
+NEG_QUIRK_OBJ = """\
+v 1 1 1
+v 2 2 2
+v 3 3 3
+f 0 -1 -2
+"""
+# The reference indexes pools as pool[int(tok) - 1] (loadObject.pyx:82), so
+# "0" -> pool[-1] (last), "-1" -> pool[-2], ... — a Python-wraparound quirk,
+# NOT OBJ-spec relative indexing ("-3" would be pool[-4]: an IndexError).
+
+
+def test_negative_index_quirk_python(tmp_path):
+    path = write_obj(tmp_path, NEG_QUIRK_OBJ)
+    out = load_obj_py(path)
+    np.testing.assert_allclose(out[:, 0], [3, 2, 1])
+
+
+def test_negative_index_quirk_native(tmp_path):
+    from opengl_raytracer_tpu.native import loader
+
+    if loader.get_lib() is None:
+        pytest.skip("native parser not built")
+    path = write_obj(tmp_path, NEG_QUIRK_OBJ)
+    np.testing.assert_array_equal(loader.load_obj_native(path),
+                                  load_obj_py(path))
+
+
+def test_out_of_range_index_fails_both(tmp_path):
+    # "-3" -> pool[-4] with a 3-vertex pool: IndexError in the reference
+    # and in the Python twin; the native parser reports a parse error.
+    path = write_obj(tmp_path, "v 1 1 1\nv 2 2 2\nv 3 3 3\nf -3 1 2\n")
+    with pytest.raises(IndexError):
+        load_obj_py(path)
+    from opengl_raytracer_tpu.native import loader
+
+    if loader.get_lib() is not None:
+        with pytest.raises(IOError):
+            loader.load_obj_native(path)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_MODELS), reason="reference assets absent")
 def test_sphere_asset():
     out = load_obj_py(os.path.join(REF_MODELS, "sphere", "sphere.obj"))
