@@ -14,12 +14,13 @@ tiling — arrays with a minor dimension under 128 pad to 128 lanes and waste
 8x their bytes, and per-scalar extraction of components measures ~10 cycles
 each):
 
-* ``pw_tiles (W/8, 8, 128) f32`` — wide-node children bounds: node w,
-  child j at tile ``w//8``, sublane j, lanes ``[(w%8)*16, ...+6)``.
+* ``pw_tiles (W/8, 8, 128) f32`` — wide-node children records: node w,
+  child j at tile ``w//8``, sublane j, lane group ``(w%8)*16``: lanes 0-5
+  the child AABB, lanes 6-13 the per-octant far-first push entries packed
+  as exact-integer floats (``entry*8 + slot``; see ops/wide_bvh.py).
   Children sit on *sublanes*, so one slab evaluation tests 8 children
-  against a 128-ray row densely.  Empty slots hold inverted boxes.
-* ``pw_entry (W, 8) i32`` — pre-encoded stack entries: internal -> wide
-  index (>= 0), leaf -> ``-(first_octet*64 + count) - 1``.
+  against a 128-ray row densely.  Empty slots hold finite inverted boxes
+  (+/-inf would turn into NaN through the arithmetic one-hot select).
 * ``pl_tri_tiles (G, 8, 128) f32`` — triangle octets: slot
   ``s = g*64 + k*8 + j`` at tile g, sublane j, lanes ``[k*16, k*16+16)``
   as [v0, e1, e2, face, pad x4]; leaves are octet-aligned ranges.

@@ -14,14 +14,15 @@ leaf (an octet-aligned triangle range, shared with the octet leaf tables).
 
 Layout (device arrays built in Scene.send):
 
-* ``pw_tiles (ceil(W/8), 8, 128) f32`` — child bounds: wide node w, child
-  j at tile ``w//8``, sublane j, lane group ``w%8``:
-  [bmin.xyz, bmax.xyz, pad x10].  Empty child slots get an inverted box
-  (+inf min, -inf max) that can never be hit.
-* ``pw_entry (W, 8) i32`` — per-child stack entry, pre-encoded so the
-  kernel pushes it verbatim: internal child -> its wide index (>= 0);
-  leaf child -> ``-(first_octet * 64 + count) - 1`` (< 0); empty -> the
-  root sentinel INT32_MIN (never pushed because its box never hits).
+* ``pw_tiles (ceil(W/8), 8, 128) f32`` — per child j (sublane j) of wide
+  node w (lane group ``(w%8)*16``): lanes 0-5 [bmin.xyz, bmax.xyz], lanes
+  6-13 the per-octant far-first push entries packed as exact-integer
+  floats (see ORD_LANE0 / PACK_LIMIT below).  Empty child slots get a
+  FINITE inverted box that can never be hit.
+* ``pw_entry (W, 8) i32`` — per-child stack entry in slot order (used by
+  validation/tests; the kernel reads the ordered packed lanes instead):
+  internal child -> its wide index (>= 0); leaf child ->
+  ``-first_octet - 1`` (< 0); empty -> INT32_MIN.
 
 Traversal contract (kernel side): stack starts holding entry 0 (the root
 wide node); pop an entry, if >= 0 expand (test 8 children, push hit
