@@ -24,6 +24,27 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+class _ShardedAdapter:
+    """Renderer-shaped facade over ShardedRenderer for the bench loop."""
+
+    def __init__(self, sharded):
+        self._s = sharded
+
+    def init_state(self):
+        from opengl_raytracer_tpu.renderer import RenderState
+
+        return RenderState(accum=self._s.init_accum())
+
+    def step(self, state, camera):
+        accum, frames = self._s.step(camera, state.accum, state.frame_count)
+        return state.__class__(accum=accum, frame_count=frames)
+
+    def image(self, state):
+        import numpy as np
+
+        return np.asarray(state.accum)
+
+
 def main():
     import jax
 
@@ -52,7 +73,16 @@ def main():
     log(f"scene: {scene.total_triangles:,} tris, {scene.total_boxes:,} BVH nodes, "
         f"built in {time.time() - t0:.2f}s")
 
-    renderer = Renderer(scene, config)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and height % n_dev == 0:
+        # Multi-chip: shard pixel rows across all devices (parallel/sharding.py).
+        from opengl_raytracer_tpu.parallel.sharding import ShardedRenderer, make_mesh
+
+        mesh = make_mesh(n_dev, dp=n_dev, sp=1)
+        log(f"multi-chip: dp={n_dev} row-sharded rendering")
+        renderer = _ShardedAdapter(ShardedRenderer(scene, config, mesh))
+    else:
+        renderer = Renderer(scene, config)
     camera = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
 
     import jax.numpy as jnp

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="yaw pitch in degrees")
     p.add_argument("--traversal", default="auto",
                    choices=["auto", "brute", "bvh", "packet", "pallas"])
+    p.add_argument("--leaf", type=int, default=32, help="BVH max leaf triangles")
+    p.add_argument("--bvh-method", default="sah", choices=["sah", "mean"])
     p.add_argument("--interactive", action="store_true",
                    help="open a pygame window (needs a display)")
     p.add_argument("--checkpoint", default=None,
@@ -70,7 +72,8 @@ def main(argv=None) -> int:
             Rect([40, 0.2, 40], [0, -10, 25], [0, 0, 0], color=[0.7, 0.7, 0.7],
                  roughness=1.0),
         ]
-        scene = Scene(objs, verbose=True)
+        scene = Scene(objs, max_leaf_tris=args.leaf, bvh_method=args.bvh_method,
+                      verbose=True)
         if cam_pos is None:
             cam_pos = [0.0, 0.0, 0.0]
         if cam_dir is None:
