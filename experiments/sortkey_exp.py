@@ -60,7 +60,7 @@ for name, k in keys.items():
 best_key = (dir6 << U(24)) | (m27 >> U(3))
 perm = jnp.argsort(best_key)
 o2s, d2s = jax.block_until_ready((o2[perm], d2[perm]))
-for lf in [16, 32]:
+for lf in [32, 64]:
     scl = Scene(default_objects('stanford_minidragon'), max_leaf_tris=lf)
     dl = scl.send()
     timeit(f'bounce dir6-sorted leaf={lf}', jax.jit(lambda dl=dl, lf=lf: raycast_pallas(dl, o2s, d2s, max_leaf_tris=lf)))
