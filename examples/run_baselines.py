@@ -53,10 +53,13 @@ def main():
         _ = float(jnp.sum(state.accum[:2, :2]))
         first = time.time() - t0
 
-        t0 = time.time()
-        state = r.render(camera=cam, frames=args.frames - 1, state=state)
-        _ = float(jnp.sum(state.accum[:2, :2]))
-        steady = (time.time() - t0) / max(args.frames - 1, 1)
+        if args.frames > 1:
+            t0 = time.time()
+            state = r.render(camera=cam, frames=args.frames - 1, state=state)
+            _ = float(jnp.sum(state.accum[:2, :2]))
+            steady = (time.time() - t0) / (args.frames - 1)
+        else:
+            steady = first  # no steady-state sample; report the first frame
 
         out = os.path.join(args.outdir, f"{name}.png")
         save_png(out, r.image(state))

@@ -96,8 +96,12 @@ def main(argv=None) -> int:
         output=args.out,
         run=False,
     )
-    if args.traversal != "auto":
-        app.config = dataclasses.replace(app.config, traversal=args.traversal)
+    if args.traversal != "auto" or args.leaf != app.config.max_leaf_tris:
+        # keep the config's leaf bound in sync with the scene's BVH so the
+        # traversal leaf loops cover every triangle
+        app.config = dataclasses.replace(
+            app.config, traversal=args.traversal, max_leaf_tris=args.leaf
+        )
         from opengl_raytracer_tpu.renderer import Renderer
 
         app.renderer = Renderer(app.scene, app.config)

@@ -100,7 +100,10 @@ struct Parser {
         if (!ok) return false;
         v = vp[(size_t)vi];
 
-        if (n >= 3) {
+        // Exactly mirror the Python twin's branch structure
+        // (models/obj.py: len(f) == 3 / == 2 / else): a token with MORE
+        // than three fields falls through to the defaults branch.
+        if (n == 3) {
             if (lens[1] > 0) {
                 long ti = py_index(parts[1], lens[1], vt.size(), &ok);
                 if (!ok) return false;

@@ -161,8 +161,12 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
                 j = packed & 7
                 push = ((bits >> j) & 1) != 0
                 push = push & (ent != EMPTY_PACKED)
+                # Overflow guard must gate the INCREMENT too, or sp desyncs
+                # from the stored entries (collapse_wide asserts the worst-
+                # case depth fits, so this never fires in practice).
+                push = push & (sp < STACK_SIZE)
 
-                @pl.when(push & (sp < STACK_SIZE))
+                @pl.when(push)
                 def _():
                     stack[sp] = ent
 
@@ -270,7 +274,6 @@ def raycast_pallas(scene, origin, direction, active=None,
     t0 = t0.reshape(Rp // _LANE, _LANE)
 
     WT = scene.pw_tiles.shape[0]
-    W = scene.pw_entry.shape[0]
     G = scene.pl_tri_tiles.shape[0]
     grid = Rp // BLOCK
 

@@ -159,6 +159,18 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
     # exact-integer floats — no extra arrays, no 128-lane padding waste.
     if W >= PACK_LIMIT // 8:
         raise ValueError(f"wide BVH too large to pack ordered entries ({W})")
+    max_octet = int(leaf_first_octet.max()) if len(leaf_first_octet) else 0
+    if max_octet >= -EMPTY_PACKED - 1:
+        # encode_leaf(-EMPTY_PACKED - 1) would collide with the empty-slot
+        # sentinel and the kernel would silently drop that leaf
+        raise ValueError(f"leaf octet index {max_octet} collides with the "
+                         f"empty-slot sentinel")
+    max_stack = (max_depth + 2) * (WIDTH - 1) + 4
+    if max_stack > 512:  # pallas_traversal.STACK_SIZE
+        raise ValueError(
+            f"wide BVH worst-case stack {max_stack} exceeds the kernel's "
+            f"512-entry stack (pathologically deep tree)"
+        )
 
     centroids = np.zeros((W, WIDTH, 3), np.float32)
     finite = np.zeros((W, WIDTH), bool)

@@ -120,6 +120,9 @@ class ShardedRenderer:
         from opengl_raytracer_tpu.renderer import _BRUTE_MAX_TRIS
 
         scene_data = scene.send() if isinstance(scene, Scene) else scene
+        from opengl_raytracer_tpu.renderer import resolve_leaf_bound
+
+        config = resolve_leaf_bound(scene_data, config)
         self.config = config
         self.mesh = mesh
         if config.tile_size != 1:

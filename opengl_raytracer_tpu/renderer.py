@@ -48,19 +48,46 @@ _BRUTE_MAX_TRIS = 128  # "auto" switches to BVH packet traversal above this
 _BLOCK_H, _BLOCK_W = 8, 16  # coherent 128-ray packet tile (8 rows x 16 cols)
 
 
+def effective_max_leaf(scene, config: RenderConfig) -> int:
+    """Leaf-loop bound actually required by this scene's BVH.
+
+    The traversal leaf loops run ``max_leaf_tris`` (rounded up to whole
+    octets for pallas) iterations; if the scene was built with bigger
+    leaves than the config assumes (e.g. CLI --leaf, or the single-leaf
+    pseudo-BVH from build_bvh=False), bounding by the config value would
+    silently skip triangles.  Must be called on CONCRETE scene data (at
+    renderer construction), never under jit — the result is baked into the
+    config as a static.
+    """
+    actual = int(np.asarray(scene.node_count).max()) if scene.node_count.size else 1
+    return max(config.max_leaf_tris, actual)
+
+
+def resolve_leaf_bound(scene, config: RenderConfig) -> RenderConfig:
+    """Return config with max_leaf_tris widened to cover the scene's BVH."""
+    import dataclasses
+
+    eff = effective_max_leaf(scene, config)
+    if eff != config.max_leaf_tris:
+        config = dataclasses.replace(config, max_leaf_tris=eff)
+    return config
+
+
 def make_raycast_fn(scene, config: RenderConfig, traversal: str):
     """Bind a raycast(origin, dir, active) -> Nearest for the chosen
-    traversal strategy."""
+    traversal strategy.  ``config.max_leaf_tris`` must already cover the
+    scene's largest leaf (see resolve_leaf_bound)."""
     if traversal == "brute":
         return partial(raycast_brute, scene)
+    leaf = config.max_leaf_tris
     if traversal == "bvh":
-        return partial(raycast_bvh, scene, max_leaf_tris=config.max_leaf_tris)
+        return partial(raycast_bvh, scene, max_leaf_tris=leaf)
     if traversal == "packet":
-        return partial(raycast_packet, scene, max_leaf_tris=config.max_leaf_tris)
+        return partial(raycast_packet, scene, max_leaf_tris=leaf)
     if traversal == "pallas":
         from opengl_raytracer_tpu.ops.pallas_traversal import raycast_pallas
 
-        return partial(raycast_pallas, scene, max_leaf_tris=config.max_leaf_tris)
+        return partial(raycast_pallas, scene, max_leaf_tris=leaf)
     raise ValueError(f"unknown traversal {traversal!r}")
 
 
@@ -151,7 +178,7 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     default_chunk = 4 * 1024 * 1024 if traversal == "pallas" else 128 * 1024
     chunk = config.ray_chunk or min(R, default_chunk)
     chunk = min(chunk, R)
-    if traversal == "packet":
+    if traversal in ("packet", "pallas"):
         chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
     n_chunks = -(-R // chunk)
     pad = n_chunks * chunk - R
@@ -202,6 +229,7 @@ class Renderer:
         else:
             scene_data = scene
         self.scene = scene_data
+        config = resolve_leaf_bound(scene_data, config)
         self.config = config
 
         if config.width % config.tile_size or config.height % config.tile_size:
@@ -236,6 +264,17 @@ class Renderer:
                         f"VMEM budget; using the slower XLA packet traversal"
                     )
                     traversal = "packet"
+        if traversal != "brute" and effective_max_leaf(scene_data, config) > 1024:
+            # e.g. Scene(build_bvh=False): a single giant pseudo-leaf would
+            # unroll the leaf loop thousands of times; brute force is the
+            # correct strategy for an unpartitioned scene.
+            if config.traversal == "auto":
+                traversal = "brute"
+            else:
+                raise ValueError(
+                    "scene has BVH leaves over 1024 triangles (was it built "
+                    "with build_bvh=False?); use traversal='brute'"
+                )
         self.traversal = traversal
 
         self._step = jax.jit(
@@ -287,9 +326,11 @@ class Renderer:
                cam_pos=None, cam_dir=None) -> RenderState:
         """Run `frames` full progressive sweeps and return the state."""
         if camera is None:
+            from opengl_raytracer_tpu.presets import DEFAULT_CAM_DIR, DEFAULT_CAM_POS
+
             camera = make_camera(
-                cam_pos if cam_pos is not None else [-33.7, 14.8, -21.1],
-                cam_dir if cam_dir is not None else [65.0, -25.4],
+                cam_pos if cam_pos is not None else DEFAULT_CAM_POS,
+                cam_dir if cam_dir is not None else DEFAULT_CAM_DIR,
             )
         if state is None:
             state = self.init_state()

@@ -150,6 +150,27 @@ def test_negative_index_quirk_native(tmp_path):
                                   load_obj_py(path))
 
 
+def test_four_field_face_token_gets_defaults(tmp_path):
+    # 'v/t/n/x' (4 fields) falls into the defaults branch in the Python
+    # twin (len(f) not in {2, 3}); the native parser must match.
+    text = """\
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0.5 0.5
+vn 0 1 0
+f 1/1/1/9 2/1/1/9 3/1/1/9
+"""
+    path = write_obj(tmp_path, text)
+    out = load_obj_py(path)
+    np.testing.assert_allclose(out[:, 3:6], [[0, 0, 1]] * 3)  # default normal
+    np.testing.assert_allclose(out[:, 6:8], [[0, 1]] * 3)  # default uv, V-flipped
+    from opengl_raytracer_tpu.native import loader
+
+    if loader.get_lib() is not None:
+        np.testing.assert_array_equal(loader.load_obj_native(path), out)
+
+
 def test_out_of_range_index_fails_both(tmp_path):
     # "-3" -> pool[-4] with a 3-vertex pool: IndexError in the reference
     # and in the Python twin; the native parser reports a parse error.

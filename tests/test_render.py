@@ -151,3 +151,41 @@ def test_invalid_tile_size_raises():
     scene = Scene(cornellish_objects())
     with pytest.raises(ValueError):
         Renderer(scene, cfg)
+
+
+def test_no_bvh_scene_forces_brute_and_matches():
+    # Scene(build_bvh=False) has one giant pseudo-leaf; auto must fall back
+    # to brute force (leaf loops bounded by max_leaf_tris would silently
+    # skip triangles), and explicit non-brute traversal must refuse.
+    objs = cornellish_objects()
+    cfg = RenderConfig(width=16, height=16, bounces=1, traversal="auto")
+    r = Renderer(Scene(objs, build_bvh=False), cfg)
+    assert r.traversal == "brute"
+    pos, cam_dir = make_camera_for_test()
+    img_nb = r.image(r.render(camera=make_camera(pos, cam_dir), frames=1))
+    img_ref, _, _ = run_jax(objs, w=16, h=16, bounces=1, traversal="bvh")
+    assert rmse(img_nb, img_ref) < 1e-6
+
+    # A LARGE unpartitioned pseudo-leaf must refuse non-brute traversal
+    # (its leaf loop would unroll thousands of iterations).
+    import numpy as np
+
+    rngen = np.random.default_rng(0)
+    big = rngen.uniform(-5, 5, size=(1500, 3, 3)).astype(np.float32)
+    big_scene = Scene([Triangles(big, color=(1, 1, 1))], build_bvh=False)
+    with pytest.raises(ValueError):
+        Renderer(big_scene, RenderConfig(width=16, height=16, traversal="packet"))
+
+
+def test_effective_max_leaf_covers_big_leaves():
+    # Scene built with bigger leaves than the config assumes must still
+    # test every triangle (the leaf bound follows the scene, not the config)
+    objs = cornellish_objects()
+    scene = Scene(objs, max_leaf_tris=48)
+    cfg = RenderConfig(width=16, height=16, bounces=1, traversal="packet",
+                       max_leaf_tris=8)
+    r = Renderer(scene, cfg)
+    pos, cam_dir = make_camera_for_test()
+    img = r.image(r.render(camera=make_camera(pos, cam_dir), frames=1))
+    img_ref, _, _ = run_jax(objs, w=16, h=16, bounces=1, traversal="brute")
+    assert rmse(img, img_ref) < 1e-6
