@@ -79,8 +79,6 @@ def main(argv=None) -> int:
         if cam_dir is None:
             cam_dir = [0.0, 0.0]
 
-    import dataclasses
-
     app = App(
         window_size=(args.width, args.height),
         bounces=args.bounces,
@@ -95,17 +93,9 @@ def main(argv=None) -> int:
         max_frames=args.frames,
         output=args.out,
         run=False,
+        max_leaf_tris=args.leaf,
+        traversal=args.traversal,
     )
-    if args.traversal != "auto" or args.leaf != app.config.max_leaf_tris:
-        # keep the config's leaf bound in sync with the scene's BVH so the
-        # traversal leaf loops cover every triangle
-        app.config = dataclasses.replace(
-            app.config, traversal=args.traversal, max_leaf_tris=args.leaf
-        )
-        from opengl_raytracer_tpu.renderer import Renderer
-
-        app.renderer = Renderer(app.scene, app.config)
-        app.state = app.renderer.init_state()
     if cam_pos is not None:
         app.camPos = np.array(cam_pos, dtype=np.float32)
     if cam_dir is not None:

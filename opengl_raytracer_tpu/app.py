@@ -62,6 +62,8 @@ class App:
         max_frames: int = 64,
         output: str | None = None,
         run: bool = True,
+        max_leaf_tris: int | None = None,
+        traversal: str | None = None,
     ):
         w, h = int(window_size[0]), int(window_size[1])
         self.screen_size = tuple(screen_size) if screen_size is not None else (w, h)
@@ -74,11 +76,16 @@ class App:
             lambertian=lambertian,
             sky_brightness=skyIllumination,
             tile_size=tileSize,
+            **({"max_leaf_tris": max_leaf_tris} if max_leaf_tris else {}),
+            **({"traversal": traversal} if traversal else {}),
         )
 
         # Default scene = the reference's Cornell-box variant (main.py:19-111).
+        # The BVH is built with the config's leaf bound so scene tables and
+        # traversal loop bounds always agree.
         self.scene = scene if scene is not None else Scene(
-            default_objects(dragon), verbose=True
+            default_objects(dragon), max_leaf_tris=self.config.max_leaf_tris,
+            verbose=True,
         )
         self.renderer = Renderer(self.scene, self.config)
 
@@ -149,7 +156,8 @@ class App:
 
         last = time.time()
         for f in range(self.max_frames * self.config.tile_size ** 2):
-            self.state = self.renderer.step(self.state, self.camera)
+            self.state = self.renderer.step(self.state, self.camera,
+                                            lambertian=self.lambertian)
             if self.state.tile_x == 0 and self.state.tile_y == 0:
                 device_sync(self.state.accum)  # honest per-frame timing
                 now = time.time()
@@ -217,14 +225,10 @@ class App:
                         pg.mouse.set_visible(not self.canMove)
                         pg.event.set_grab(self.canMove)
                     if event.key == pg.K_l:
+                        # Uniform flip, no recompile (reference main.py:353-360):
+                        # lambertian is a traced argument of the render step.
                         self.lambertian = not self.lambertian
                         print(f"\nSet lambertian lighting to {self.lambertian}")
-                        import dataclasses
-
-                        self.config = dataclasses.replace(
-                            self.config, lambertian=self.lambertian
-                        )
-                        self.renderer = Renderer(self.scene, self.config)
                         self.resetFrames()
                     if event.key == pg.K_c:
                         print("\nCamera info:")
@@ -236,7 +240,8 @@ class App:
                     if event.key == pg.K_ESCAPE:
                         running = False
 
-            self.state = self.renderer.step(self.state, self.camera)
+            self.state = self.renderer.step(self.state, self.camera,
+                                            lambertian=self.lambertian)
 
             if self.state.tile_x == 0 and self.state.tile_y == 0:
                 img = to_uint8(self.image())

@@ -57,21 +57,25 @@ def _normalize_guarded(v):
     return jnp.where(n > 0.0, v / jnp.maximum(n, np.float32(1e-30)), jnp.zeros_like(v))
 
 
-def scatter(seed, normal, ray_dir, roughness, lambertian: bool):
+def scatter(seed, normal, ray_dir, roughness, lambertian):
     """Next bounce direction; returns (new_seed, direction).
 
     Draws exactly three RNG values (the shader draws them in ``diffuse``
     before any other decision, fragment.glsl:221), computes the mirror
     direction with ``reflect``, and blends per ``lerp``.
+
+    ``lambertian`` is a TRACED bool scalar (the reference flips a uniform,
+    main.py:353-360 / fragment.glsl:16, so toggling it must not recompile);
+    both scatter formulas are computed and selected per-element.
     """
     seed, xi = rng.random_vec3(seed)
 
-    if lambertian:
-        diffuse_dir = _normalize_unguarded(normal + xi)
-    else:
-        flip = _dot(xi, normal) < 0.0
-        xi = jnp.where(flip, -xi, xi)
-        diffuse_dir = _normalize_unguarded(xi)
+    lam = jnp.asarray(lambertian, bool)
+    diffuse_lam = _normalize_unguarded(normal + xi)
+    flip = _dot(xi, normal) < 0.0
+    xi_h = jnp.where(flip, -xi, xi)
+    diffuse_hemi = _normalize_unguarded(xi_h)
+    diffuse_dir = jnp.where(lam, diffuse_lam, diffuse_hemi)
 
     # GLSL reflect(I, N) = I - 2*dot(N, I)*N (fragment.glsl:320).
     specular_dir = ray_dir - 2.0 * _dot(ray_dir, normal) * normal
@@ -85,7 +89,7 @@ def scatter(seed, normal, ray_dir, roughness, lambertian: bool):
 
 
 def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
-             lambertian: bool, reorder: bool = False):
+             lambertian, reorder: bool = False):
     """One path per ray: returns (incoming_light (R,3), new_seed).
 
     The reference's per-pixel bounce loop (fragment.glsl:309-350) with the
@@ -97,7 +101,10 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     and original index, so results are bit-identical to the unsorted order.
     """
     R = origin0.shape[0]
-    emission_scale = np.float32(2.0 if lambertian else 1.0)
+    # x2 emission in lambertian mode (fragment.glsl:329-331); traced select
+    # so the L toggle is a uniform flip, not a recompile.
+    emission_scale = jnp.where(jnp.asarray(lambertian, bool),
+                               np.float32(2.0), np.float32(1.0))
 
     if reorder:
         from opengl_raytracer_tpu.ops.morton import ray_sort_keys
@@ -173,7 +180,7 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
 
 
 def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
-          rays_per_pixel: int, lambertian: bool, reorder: bool = False):
+          rays_per_pixel: int, lambertian, reorder: bool = False):
     """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366)."""
     run = partial(
         raytrace,

@@ -19,8 +19,11 @@ each):
   the child AABB, lanes 6-13 the per-octant far-first push entries packed
   as exact-integer floats (``entry*8 + slot``; see ops/wide_bvh.py).
   Children sit on *sublanes*, so one slab evaluation tests 8 children
-  against a 128-ray row densely.  Empty slots hold finite inverted boxes
-  (+/-inf would turn into NaN through the arithmetic one-hot select).
+  against a 128-ray row densely.  Empty slots hold finite swapped-bounds
+  boxes which DO pass the canonicalizing slab test (their hit-mask bit is
+  set); they are excluded solely by the EMPTY_PACKED sentinel gating the
+  push.  Finite values only because +/-inf would turn into NaN through
+  the arithmetic one-hot select.
 * ``pl_tri_tiles (G, 8, 128) f32`` — triangle octets: slot
   ``s = g*64 + k*8 + j`` at tile g, sublane j, lanes ``[k*16, k*16+16)``
   as [v0, e1, e2, face, pad x4]; leaves are octet-aligned ranges.

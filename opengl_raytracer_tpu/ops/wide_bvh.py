@@ -18,7 +18,12 @@ Layout (device arrays built in Scene.send):
   node w (lane group ``(w%8)*16``): lanes 0-5 [bmin.xyz, bmax.xyz], lanes
   6-13 the per-octant far-first push entries packed as exact-integer
   floats (see ORD_LANE0 / PACK_LIMIT below).  Empty child slots get a
-  FINITE inverted box that can never be hit.
+  FINITE box of swapped (+big, -big) bounds.  NOTE: the min/max slab form
+  canonicalizes swapped bounds, so these boxes PASS the slab test (they
+  behave as huge always-hit boxes) and set their bit in the kernel's hit
+  bitmask — empty slots are excluded solely by the EMPTY_PACKED sentinel
+  gating the push.  The values are finite only because +/-inf would turn
+  into NaN through the kernel's arithmetic one-hot select (0 * inf).
 * ``pw_entry (W, 8) i32`` — per-child stack entry in slot order (used by
   validation/tests; the kernel reads the ordered packed lanes instead):
   internal child -> its wide index (>= 0); leaf child ->
@@ -128,9 +133,12 @@ def collapse_wide(bvh: BVH, leaf_first_octet: np.ndarray) -> WideBVH:
     W = len(children)
     Wp = -(-W // 8) * 8
     tiles = np.zeros((Wp // 8, 8, 128), np.float32)
-    # Empty slots: FINITE inverted boxes that can never be hit.  Not +/-inf:
-    # the kernel's one-hot lane-group select lowers to an arithmetic blend
-    # on the VPU, and 0 * inf = NaN would poison the selected group.
+    # Empty slots: FINITE swapped-bounds boxes.  These DO pass the slab
+    # test (min/max canonicalization makes them always-hit); empties are
+    # excluded solely by the EMPTY_PACKED push sentinel.  Finite (not
+    # +/-inf) because the kernel's one-hot lane-group select lowers to an
+    # arithmetic blend on the VPU, and 0 * inf = NaN would poison the
+    # selected group.
     _FAR = np.float32(1e30)
     for g in range(8):
         tiles[:, :, g * 16:g * 16 + 3] = _FAR

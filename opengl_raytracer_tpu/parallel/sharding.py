@@ -59,8 +59,8 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
 
 
 def sharded_accum_step(scene, camera, accum, frame_count, sky_brightness,
-                       jitter_amount, *, config: RenderConfig, traversal: str,
-                       mesh: Mesh):
+                       jitter_amount, lambertian, *, config: RenderConfig,
+                       traversal: str, mesh: Mesh):
     """One multi-chip progressive step: folds ``sp`` new frames into the
     row-sharded accumulation buffer.  accum: (H, W, 3) sharded on rows."""
     H, W = config.height, config.width
@@ -74,7 +74,7 @@ def sharded_accum_step(scene, camera, accum, frame_count, sky_brightness,
         traversal = "bvh"  # packet path needs whole 128-ray packets
     raycast_fn = make_raycast_fn(scene, config, traversal)
 
-    def local_step(scene, camera, accum_blk, frame_count, sky, jit_amt):
+    def local_step(scene, camera, accum_blk, frame_count, sky, jit_amt, lam):
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
         frame = frame_count + sp_idx
@@ -87,7 +87,7 @@ def sharded_accum_step(scene, camera, accum, frame_count, sky_brightness,
         py = jnp.broadcast_to(py_rows[:, None], (local_h, W))
 
         colors = render_pixels(
-            scene, config, camera, frame, sky, jit_amt,
+            scene, config, camera, frame, sky, jit_amt, lam,
             px.reshape(-1), py.reshape(-1), raycast_fn,
             reorder=traversal in ("packet", "pallas"),
         ).reshape(local_h, W, 3)
@@ -101,11 +101,12 @@ def sharded_accum_step(scene, camera, accum, frame_count, sky_brightness,
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P(), P(), P()),
+        in_specs=(P(), P(), P("dp"), P(), P(), P(), P()),
         out_specs=P("dp"),
         check_vma=False,
     )
-    return fn(scene, camera, accum, frame_count, sky_brightness, jitter_amount)
+    return fn(scene, camera, accum, frame_count, sky_brightness,
+              jitter_amount, lambertian)
 
 
 class ShardedRenderer:
@@ -149,11 +150,14 @@ class ShardedRenderer:
             self._accum_sharding,
         )
 
-    def step(self, camera, accum, frame_count: int):
+    def step(self, camera, accum, frame_count: int,
+             lambertian: bool | None = None):
+        lam = self.config.lambertian if lambertian is None else lambertian
         accum = self._step(
             self.scene, camera, accum,
             jnp.int32(frame_count),
             jnp.float32(self.config.sky_brightness),
             jnp.float32(self.config.jitter_amount),
+            jnp.asarray(lam, bool),
         )
         return accum, frame_count + self.frames_per_step

@@ -15,9 +15,10 @@ pure function per tile step:
   read-write hazard (main.py:389) structurally impossible.
 * The tile scheduler renders one ``(W/tiles) x (H/tiles)`` band per step and
   the frame counter increments after a full sweep (main.py:409-418,
-  fragment.glsl:382-386).  Tiles must divide the frame exactly (the
-  reference's remainder-tile gating arithmetic, main.py:156-157, never
-  triggers at its defaults).
+  fragment.glsl:382-386).  Remainder tiles (any ``tile_size``) are handled
+  by clamping the band window into the frame and masking the merge — the
+  functional analog of the reference's per-pixel modulo gating
+  (fragment.glsl:382, main.py:156-157).
 * Rays are chunked into coherent row bands inside the step (``lax.map``), so
   BVH-traversal divergence is bounded per chunk and peak memory stays flat.
 
@@ -51,20 +52,21 @@ _BLOCK_H, _BLOCK_W = 8, 16  # coherent 128-ray packet tile (8 rows x 16 cols)
 def effective_max_leaf(scene, config: RenderConfig) -> int:
     """Leaf-loop bound actually required by this scene's BVH.
 
-    The traversal leaf loops run ``max_leaf_tris`` (rounded up to whole
-    octets for pallas) iterations; if the scene was built with bigger
-    leaves than the config assumes (e.g. CLI --leaf, or the single-leaf
-    pseudo-BVH from build_bvh=False), bounding by the config value would
-    silently skip triangles.  Must be called on CONCRETE scene data (at
+    Derived from the scene's OWN node table — never from
+    ``config.max_leaf_tris`` (which is only the *build* parameter).  A
+    config bound smaller than the scene's largest leaf would silently skip
+    triangles; a larger one would make the Pallas kernel's fixed octet loop
+    read past the slack Scene.send sized into its tables (an unchecked
+    dynamic VMEM index).  Must be called on CONCRETE scene data (at
     renderer construction), never under jit — the result is baked into the
-    config as a static.
+    compiled leaf loops as a static.
     """
-    actual = int(np.asarray(scene.node_count).max()) if scene.node_count.size else 1
-    return max(config.max_leaf_tris, actual)
+    del config
+    return int(np.asarray(scene.node_count).max()) if scene.node_count.size else 1
 
 
 def resolve_leaf_bound(scene, config: RenderConfig) -> RenderConfig:
-    """Return config with max_leaf_tris widened to cover the scene's BVH."""
+    """Return config with max_leaf_tris set to the scene's actual bound."""
     import dataclasses
 
     eff = effective_max_leaf(scene, config)
@@ -105,7 +107,7 @@ class RenderState:
 
 
 def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
-                  frame_number, sky_brightness, jitter_amount,
+                  frame_number, sky_brightness, jitter_amount, lambertian,
                   px, py, raycast_fn, reorder: bool = False):
     """Trace a flat batch of pixels; px/py int32 (R,), py in GL convention
     (0 = bottom row).  Returns (R, 3) linear color."""
@@ -134,14 +136,14 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         sky,
         n_bounces=config.n_bounces,
         rays_per_pixel=config.rays_per_pixel,
-        lambertian=config.lambertian,
+        lambertian=lambertian,
         reorder=reorder,
     )
     return color
 
 
 def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
-               tile_x, tile_y, sky_brightness, jitter_amount,
+               tile_x, tile_y, sky_brightness, jitter_amount, lambertian,
                *, config: RenderConfig, traversal: str):
     """Render one tile and fold it into the accumulation buffer."""
     H, W = config.height, config.width
@@ -150,9 +152,17 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
 
     raycast_fn = make_raycast_fn(scene, config, traversal)
 
-    # Pixel grids for this tile, GL convention.
-    col0 = tile_x * tw
-    py0 = tile_y * th
+    # Pixel grids for this tile, GL convention.  Remainder tiles (tile_size
+    # not dividing the frame — the reference handles these via per-pixel
+    # modulo gating, fragment.glsl:382-386 + main.py:156-157): the band
+    # window is clamped to stay inside the frame, so its leading rows/cols
+    # re-render pixels belonging to the previous tile; the merge below
+    # masks those out.  When tiles divide exactly the clamp and the mask
+    # are no-ops.
+    col0 = jnp.minimum(tile_x * tw, W - tw)
+    py0 = jnp.minimum(tile_y * th, H - th)
+    dx0 = tile_x * tw - col0  # band cols < dx0 belong to the previous tile
+    dy0 = tile_y * th - py0
     px = col0 + jnp.broadcast_to(jnp.arange(tw, dtype=jnp.int32)[None, :], (th, tw))
     py = py0 + jnp.broadcast_to(jnp.arange(th, dtype=jnp.int32)[:, None], (th, tw))
 
@@ -188,7 +198,7 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
 
     body = partial(
         render_pixels, scene, config, camera, frame_count,
-        sky_brightness, jitter_amount, raycast_fn=raycast_fn,
+        sky_brightness, jitter_amount, lambertian, raycast_fn=raycast_fn,
         reorder=traversal in ("packet", "pallas"),
     )
 
@@ -213,9 +223,15 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     tile_img = colors[::-1]
     row0 = H - py0 - th
 
+    # Remainder-tile mask: band positions below the tile's true origin were
+    # re-rendered only because of the window clamp — keep prev there.
+    valid = ((jnp.arange(tw, dtype=jnp.int32)[None, :] >= dx0)
+             & (jnp.arange(th, dtype=jnp.int32)[:, None] >= dy0))
+    mask_img = valid[::-1][:, :, None]
+
     prev = jax.lax.dynamic_slice(accum, (row0, col0, 0), (th, tw, 3))
     fc = frame_count.astype(jnp.float32)
-    merged = (prev * fc + tile_img) / (fc + 1.0)
+    merged = jnp.where(mask_img, (prev * fc + tile_img) / (fc + 1.0), prev)
     return jax.lax.dynamic_update_slice(accum, merged, (row0, col0, 0))
 
 
@@ -232,10 +248,12 @@ class Renderer:
         config = resolve_leaf_bound(scene_data, config)
         self.config = config
 
-        if config.width % config.tile_size or config.height % config.tile_size:
+        if config.tile_w < 1 or config.tile_h < 1:
+            # the reference divides by tileSizeX and would crash too
+            # (main.py:125-126, :156-157)
             raise ValueError(
-                f"tile_size={config.tile_size} must divide "
-                f"{config.width}x{config.height} exactly"
+                f"tile_size={config.tile_size} exceeds the frame "
+                f"({config.width}x{config.height})"
             )
 
         traversal = config.traversal
@@ -293,17 +311,23 @@ class Renderer:
 
     def step(self, state: RenderState, camera: Camera,
              sky_brightness: float | None = None,
-             jitter_amount: float | None = None) -> RenderState:
-        """One tile draw + tile cursor advance (main.py:375-418)."""
+             jitter_amount: float | None = None,
+             lambertian: bool | None = None) -> RenderState:
+        """One tile draw + tile cursor advance (main.py:375-418).
+
+        ``lambertian`` is traced (uniform-flip semantics, main.py:353-360):
+        toggling it does NOT recompile the step.
+        """
         cfg = self.config
         sky = cfg.sky_brightness if sky_brightness is None else sky_brightness
         jit_amt = cfg.jitter_amount if jitter_amount is None else jitter_amount
+        lam = cfg.lambertian if lambertian is None else lambertian
 
         accum = self._step(
             self.scene, camera, state.accum,
             jnp.int32(state.frame_count),
             jnp.int32(state.tile_x), jnp.int32(state.tile_y),
-            jnp.float32(sky), jnp.float32(jit_amt),
+            jnp.float32(sky), jnp.float32(jit_amt), jnp.asarray(lam, bool),
         )
 
         tile_x, tile_y, frames = state.tile_x + 1, state.tile_y, state.frame_count

@@ -35,13 +35,20 @@ class RenderConfig:
         (fragment.glsl:242-244).
     tile_size: number of tiles per axis (the reference's ``tileSize``
         parameter divides the window, main.py:125-126). 1 = whole frame
-        per step.
-    max_leaf_tris: BVH leaf size used by our builder (the traversal pads
-        leaf loops to this length).
-    traversal: "auto" | "bvh" | "brute". "auto" uses brute force for tiny
-        scenes and BVH otherwise.
+        per step.  Need not divide the frame exactly — remainder tiles
+        are masked like the reference's modulo gating.
+    max_leaf_tris: BVH leaf size passed to the builder.  The traversal
+        leaf-loop bound is always derived from the scene's actual BVH
+        (renderer.resolve_leaf_bound), not from this value.
+    traversal: "auto" | "brute" | "bvh" | "packet" | "pallas".  "auto"
+        picks brute force for tiny scenes, the Pallas wide-BVH kernel on
+        TPU when the scene tables fit VMEM, and the XLA packet traversal
+        otherwise.
     ray_chunk: rays processed per inner chunk (bounds peak memory; rounded
         to the pixel-row granularity internally). 0 = whole frame at once.
+
+    ``lambertian`` is only the DEFAULT for the render step's traced
+    lambertian argument — toggling it at runtime does not recompile.
     """
 
     width: int = 1920

@@ -146,11 +146,53 @@ def test_emissive_terminates_path():
     )
 
 
-def test_invalid_tile_size_raises():
-    cfg = RenderConfig(width=24, height=20, tile_size=7)
+def test_remainder_tiles_match_full_frame():
+    """tile_size need not divide the frame (reference modulo gating,
+    fragment.glsl:382-386): 25x19 with 7 tiles/axis -> tile 3x2, so the
+    last column band covers 1 px and the last row band 1 px."""
+    img_full, _, _ = run_jax(cornellish_objects(), w=25, h=19, bounces=1,
+                             tile_size=1)
+    img_tiled, _, _ = run_jax(cornellish_objects(), w=25, h=19, bounces=1,
+                              tile_size=7)
+    assert rmse(img_full, img_tiled) < 1e-6
+
+
+def test_remainder_tiles_multi_frame_accum():
+    """Remainder tiles must keep per-pixel sample streams intact across
+    progressive frames (each pixel rendered exactly once per sweep)."""
+    img_full, _, _ = run_jax(cornellish_objects(), w=25, h=19, bounces=1,
+                             frames=3, tile_size=1)
+    img_tiled, _, _ = run_jax(cornellish_objects(), w=25, h=19, bounces=1,
+                              frames=3, tile_size=4)
+    assert rmse(img_full, img_tiled) < 1e-6
+
+
+def test_oversized_tile_size_raises():
+    cfg = RenderConfig(width=24, height=20, tile_size=25)
     scene = Scene(cornellish_objects())
     with pytest.raises(ValueError):
         Renderer(scene, cfg)
+
+
+def test_lambertian_toggle_no_recompile():
+    """The L key flips a traced uniform (reference main.py:353-360): both
+    modes must run through ONE compiled step and match their per-mode
+    compiled references."""
+    img_on, _, _ = run_jax(cornellish_objects(), bounces=2, lambertian=True)
+    img_off, _, _ = run_jax(cornellish_objects(), bounces=2, lambertian=False)
+
+    cfg = RenderConfig(width=24, height=20, bounces=2, traversal="brute",
+                       lambertian=True)
+    scene = Scene(cornellish_objects())
+    r = Renderer(scene, cfg)
+    pos, cam_dir = make_camera_for_test()
+    cam = make_camera(pos, cam_dir)
+    st = r.step(r.init_state(), cam, lambertian=True)
+    a = np.asarray(st.accum)
+    st = r.step(r.init_state(), cam, lambertian=False)  # same compiled fn
+    b = np.asarray(st.accum)
+    assert rmse(a, img_on) < 1e-6
+    assert rmse(b, img_off) < 1e-6
 
 
 def test_no_bvh_scene_forces_brute_and_matches():
