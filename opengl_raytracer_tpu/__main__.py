@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cam-dir", type=float, nargs=2, default=None,
                    help="yaw pitch in degrees")
     p.add_argument("--traversal", default="auto",
-                   choices=["auto", "brute", "bvh", "packet", "pallas"])
+                   choices=["auto", "brute", "bvh", "packet", "pallas", "pallas2"])
     p.add_argument("--leaf", type=int, default=32, help="BVH max leaf triangles")
     p.add_argument("--bvh-method", default="sah", choices=["sah", "mean"])
     p.add_argument("--interactive", action="store_true",

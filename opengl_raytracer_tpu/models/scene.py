@@ -65,6 +65,12 @@ class SceneData(NamedTuple):
     pw_entry: jnp.ndarray  # (W, 8) i32 child entries in slot order
     pl_tri_tiles: jnp.ndarray  # (G, 8, 128) f32 octet tiles: tris on sublanes
     pl_remap: jnp.ndarray  # (slots,) i32 aligned slot -> permuted tri
+    # Sub-block (work-stealing) kernel tables (ops/wide2.py /
+    # ops/subblock_traversal.py): row-layout wide nodes + one-octet leaves.
+    # Empty (0, 128) when the scene exceeds the kernel's caps.
+    p2_node_rows: jnp.ndarray  # (Wp, 128) f32
+    p2_tri_rows: jnp.ndarray  # (Qp, 128) f32
+    p2_remap: jnp.ndarray  # (Qp*8,) i32 slot -> permuted tri
 
     @property
     def num_tris(self) -> int:
@@ -267,6 +273,24 @@ class Scene:
             )
         wide = collapse_wide(binary, leaf_first_octet)
 
+        # Sub-block kernel tables: separate leaf<=8 build over the FINAL
+        # (permuted) triangles; remap lands directly in that index space.
+        from opengl_raytracer_tpu.ops.wide2 import build_subblock
+
+        T = self.total_triangles
+        try:
+            if T > 0:
+                sb = build_subblock(v0[:T], v1[:T], v2[:T], tri16[:T])
+                p2_node_rows = sb.node_rows
+                p2_tri_rows = sb.tri_rows
+                p2_remap = sb.remap
+            else:
+                raise ValueError("empty scene")
+        except ValueError:
+            p2_node_rows = np.zeros((0, 128), np.float32)
+            p2_tri_rows = np.zeros((0, 128), np.float32)
+            p2_remap = np.zeros((0,), np.int32)
+
         self._device = SceneData(
             v0=jnp.asarray(v0),
             e1=jnp.asarray(e1.astype(np.float32)),
@@ -288,6 +312,9 @@ class Scene:
             pw_entry=jnp.asarray(wide.entry),
             pl_tri_tiles=jnp.asarray(pl_tri_tiles),
             pl_remap=jnp.asarray(pl_remap.astype(np.int32)),
+            p2_node_rows=jnp.asarray(p2_node_rows),
+            p2_tri_rows=jnp.asarray(p2_tri_rows),
+            p2_remap=jnp.asarray(p2_remap),
         )
         return self._device
 

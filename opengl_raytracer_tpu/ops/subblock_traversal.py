@@ -1,0 +1,363 @@
+"""Work-stealing sub-block BVH traversal — the round-2 Pallas kernel.
+
+Why: the round-1 kernel (ops/pallas_traversal.py) marries 1024 rays to one
+node pointer, so every node it visits is the UNION of 8 packets' needs and
+every opened leaf is tested against all 1024 rays.  Measured on real
+bounce rays (experiments/packet_stats.py, minidragon 1080p): a 128-ray
+packet needs ~50 node+octet pops on average while the 1024-block pays
+~217 heavier iterations, and packets inside a block are ~2.5x imbalanced.
+
+This kernel runs EIGHT INDEPENDENT 128-ray packets per instance — one per
+sublane row — each with its own node pointer, its own dual stacks (node
+stack + leaf-octet stack), and its own progress.  When a row finishes its
+packet it *steals the next packet* from the grid step's pool (a shared
+SMEM counter), so fast rows absorb the stragglers' imbalance; iterations
+per pool ~ mean packet cost, not max.
+
+Per iteration, all work is dense (8,128) vector math (no per-row
+branches — the round-1 negative result):
+
+  1. pop one node entry and one octet entry per row (one-hot reads from
+     VMEM stacks; the octet stack throttles node pops when nearly full)
+  2. pack (node, octet, done) per row into an i32 word, store to a VMEM
+     tile, read 8 scalars back (the Mosaic-safe computed-scalar path;
+     verified on hardware by experiments/subblock_correct.py)
+  3. done rows: write the finished packet's results, claim the next
+     packet (dynamic row loads of its rays), all inside rare pl.when
+  4. 16 dynamic row loads: each row's wide-node row + octet row
+  5. expand: 8 static-j child slab tests, child j's bounds broadcast
+     from lanes [j*6, j*6+6) of each row's node record
+  6. push: per-row octant selects the precomputed far-first order block
+     (8 lanes); entries push into the stacks via one-hot vector writes
+  7. leaf: 8 static-j Moller-Trumbore tests, triangle j broadcast from
+     lanes [j*16, j*16+12) of each row's octet record
+
+Exact reference semantics preserved: slab entry clamp and -1 miss
+(fragment.glsl:181-204), `tNear > closestT` pruning (fragment.glsl:261),
+EPS rules and strict `<` nearest update (fragment.glsl:106-177, :275),
+near-first child order via far-first LIFO pushes.  Dead rays enter with
+best_t = -inf: they can neither open nodes nor accept hits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opengl_raytracer_tpu.ops.intersect import BIG, EPS, Nearest, mt_single
+from opengl_raytracer_tpu.ops.wide2 import EMPTY_PACKED, ORD0
+
+_SUB, _LANE = 8, 128
+POOL = 64           # packets per grid step (8192 rays)
+STACK_N = 128       # per-row node stack (lanes)
+STACK_L = 256       # per-row leaf-octet stack (lanes)
+_SIGN = np.int32(-(2**31))
+_INT_BIG = np.int32(2**31 - 1)
+
+
+def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
+                     node_rows, tri_rows,
+                     t_out, slot_out, it_out,
+                     stack_n, stack_l, node_scr, tri_scr, xfer,
+                     so_x, so_y, so_z, sd_x, sd_y, sd_z,
+                     si_x, si_y, si_z, st0, claim_scr,
+                     cnt, pkt_ids,
+                     *, n_wide: int, n_oct: int):
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_N), 1)
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
+
+    cnt[0] = jnp.int32(0)
+    for r in range(_SUB):
+        pkt_ids[r] = jnp.int32(-1)
+    stack_n[:] = jnp.zeros((_SUB, STACK_N), jnp.int32)
+    stack_l[:] = jnp.zeros((_SUB, STACK_L), jnp.int32)
+
+    def cond(c):
+        has = c[4]
+        return jnp.max(has) > 0
+
+    def body(c):
+        bt, bsl, spn, spl, has, it = c                 # has: i32 0/1 (Mosaic
+        # cannot select between i1 vectors, so the flag is carried as int)
+
+        # ---- 1. pops ----
+        done = (spn <= 0) & (spl <= 0) & (has > 0)     # (8,1)
+        act_n = (spn > 0) & (spl < STACK_L - 8)        # throttle node pops
+        act_l = spl > 0
+        spn1 = spn - act_n.astype(jnp.int32)
+        spl1 = spl - act_l.astype(jnp.int32)
+        sn_t = stack_n[:]
+        sl_t = stack_l[:]
+        e_n = jnp.sum(jnp.where(lane_n == spn1, sn_t, 0), axis=1,
+                      keepdims=True)
+        e_l = jnp.sum(jnp.where(lane_l == spl1, sl_t, 0), axis=1,
+                      keepdims=True)
+        idx_n = jnp.clip(jnp.where(act_n, e_n, 0), 0, n_wide - 1)
+        idx_l = jnp.clip(jnp.where(act_l, -e_l - 1, 0), 0, n_oct - 1)
+
+        # ---- 2. scalar extraction via VMEM round-trip ----
+        word = idx_n * 65536 + idx_l
+        word = jnp.where(done, word + _SIGN, word)
+        xfer[:] = word + jnp.zeros((_SUB, _LANE), jnp.int32)
+
+        any_done = jnp.any(done)
+
+        # ---- 3. finish + claim (rare; scalar work under pl.when) ----
+        @pl.when(any_done)
+        def _claims():
+            for r in range(_SUB):
+                v = xfer[r, 0]
+
+                @pl.when(v < 0)
+                def _():
+                    old = pkt_ids[r]
+
+                    @pl.when(old >= 0)
+                    def _():
+                        t_out[old] = bt[r]
+                        slot_out[old] = bsl[r]
+
+                    nxt = cnt[0]
+
+                    @pl.when(nxt < POOL)
+                    def _():
+                        pkt_ids[r] = nxt
+                        cnt[0] = nxt + 1
+                        so_x[r] = ox[nxt]
+                        so_y[r] = oy[nxt]
+                        so_z[r] = oz[nxt]
+                        sd_x[r] = dx[nxt]
+                        sd_y[r] = dy[nxt]
+                        sd_z[r] = dz[nxt]
+                        si_x[r] = ix[nxt]
+                        si_y[r] = iy[nxt]
+                        si_z[r] = iz[nxt]
+                        st0[r] = t0[nxt]
+                        claim_scr[r] = jnp.ones((_LANE,), jnp.float32)
+
+                    @pl.when(nxt >= POOL)
+                    def _():
+                        pkt_ids[r] = jnp.int32(-1)
+                        st0[r] = jnp.full((_LANE,), -BIG, jnp.float32)
+                        claim_scr[r] = jnp.zeros((_LANE,), jnp.float32)
+
+        # ---- 4. dynamic row loads (unconditional; done rows load row 0,
+        # which for the node table is the root they're about to expand) ----
+        xfer2 = xfer[:]  # force the claim block to sequence before reads
+        del xfer2
+        for r in range(_SUB):
+            v = xfer[r, 0] & _INT_BIG
+            node_scr[r] = node_rows[v >> 16]
+            tri_scr[r] = tri_rows[v & 65535]
+
+        # ---- vector-side claim effects ----
+        got = done & (claim_scr[:, 0:1] > 0.5)
+        bt = jnp.where(done, st0[:], bt)
+        bsl = jnp.where(done, 0, bsl)
+        has = jnp.where(done, got.astype(jnp.int32), has)
+        act_n_eff = act_n | got                        # fresh rows expand root
+
+        o_x, o_y, o_z = so_x[:], so_y[:], so_z[:]
+        d_x, d_y, d_z = sd_x[:], sd_y[:], sd_z[:]
+        inv_x, inv_y, inv_z = si_x[:], si_y[:], si_z[:]
+        nrow = node_scr[:]
+        trow = tri_scr[:]
+
+        # per-row dominant octant (rows are sorted coherent; recomputed
+        # each iteration because claims swap rays in)
+        octant = (
+            ((jnp.sum(d_x, axis=1, keepdims=True) < 0.0).astype(jnp.int32) << 2)
+            | ((jnp.sum(d_y, axis=1, keepdims=True) < 0.0).astype(jnp.int32) << 1)
+            | (jnp.sum(d_z, axis=1, keepdims=True) < 0.0).astype(jnp.int32)
+        )
+
+        # ---- 5. expand: 8 children, slot j at lanes [j*6, j*6+6) ----
+        bits = jnp.zeros((_SUB, 1), jnp.int32)
+        for j in range(8):
+            b = j * 6
+            t1x = (nrow[:, b + 0:b + 1] - o_x) * inv_x
+            t1y = (nrow[:, b + 1:b + 2] - o_y) * inv_y
+            t1z = (nrow[:, b + 2:b + 3] - o_z) * inv_z
+            t2x = (nrow[:, b + 3:b + 4] - o_x) * inv_x
+            t2y = (nrow[:, b + 4:b + 5] - o_y) * inv_y
+            t2z = (nrow[:, b + 5:b + 6] - o_z) * inv_z
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.maximum(t1z, t2z))
+            hit = (far >= near) & (far >= 0.0)
+            t_entry = jnp.where(hit, jnp.maximum(near, 0.0), -1.0)
+            ok = hit & (t_entry <= bt)                 # fragment.glsl:261
+            anyj = jnp.any(ok, axis=1, keepdims=True)
+            bits = bits | jnp.where(anyj, jnp.int32(1) << j, 0)
+        bits = jnp.where(act_n_eff, bits, 0)
+
+        # ---- 6. push: far-first order block for this row's octant ----
+        ordb = jnp.zeros((_SUB, 8), jnp.float32)
+        for o in range(8):
+            ordb = ordb + jnp.where(
+                octant == o, nrow[:, ORD0 + o * 8:ORD0 + o * 8 + 8], 0.0)
+        pos_n, pos_l = spn1, spl1
+        for i in range(8):
+            pk = ordb[:, i:i + 1].astype(jnp.int32)
+            ent = pk >> 3
+            sl = pk & 7
+            ok = (((bits >> sl) & 1) != 0) & (ent != EMPTY_PACKED)
+            pn = ok & (ent >= 0) & (pos_n < STACK_N)
+            plf = ok & (ent < 0) & (pos_l < STACK_L)
+            sn_t = jnp.where((lane_n == pos_n) & pn, ent, sn_t)
+            sl_t = jnp.where((lane_l == pos_l) & plf, ent, sl_t)
+            pos_n = pos_n + pn.astype(jnp.int32)
+            pos_l = pos_l + plf.astype(jnp.int32)
+        stack_n[:] = sn_t
+        stack_l[:] = sl_t
+
+        # ---- 7. leaf: 8 triangles, slot j at lanes [j*16, j*16+12) ----
+        slot_base = idx_l * 8
+        act_l_row = act_l
+        for j in range(8):
+            b = j * 16
+            v0x, v0y, v0z = (trow[:, b + 0:b + 1], trow[:, b + 1:b + 2],
+                             trow[:, b + 2:b + 3])
+            e1x, e1y, e1z = (trow[:, b + 3:b + 4], trow[:, b + 4:b + 5],
+                             trow[:, b + 5:b + 6])
+            e2x, e2y, e2z = (trow[:, b + 6:b + 7], trow[:, b + 7:b + 8],
+                             trow[:, b + 8:b + 9])
+            fx, fy, fz = (trow[:, b + 9:b + 10], trow[:, b + 10:b + 11],
+                          trow[:, b + 11:b + 12])
+            det = d_x * fx + d_y * fy + d_z * fz
+            inv_det = 1.0 / det
+            rx = o_x - v0x
+            ry = o_y - v0y
+            rz = o_z - v0z
+            t = -(rx * fx + ry * fy + rz * fz) * inv_det
+            px = ry * d_z - rz * d_y
+            py = rz * d_x - rx * d_z
+            pz = rx * d_y - ry * d_x
+            u = -(e2x * px + e2y * py + e2z * pz) * inv_det
+            vv = (e1x * px + e1y * py + e1z * pz) * inv_det
+            valid = ((jnp.abs(det) >= EPS) & (t > EPS)
+                     & (u >= 0.0) & (vv >= 0.0) & ((u + vv) <= 1.0)
+                     & act_l_row)
+            better = valid & (t < bt)                  # strict <, glsl:275
+            bt = jnp.where(better, t, bt)
+            bsl = jnp.where(better, slot_base + j, bsl)
+
+        return bt, bsl, pos_n, pos_l, has, it + 1
+
+    bt0 = jnp.full((_SUB, _LANE), -BIG, jnp.float32)
+    fin = jax.lax.while_loop(
+        cond, body,
+        (bt0, jnp.zeros((_SUB, _LANE), jnp.int32),
+         jnp.zeros((_SUB, 1), jnp.int32), jnp.zeros((_SUB, 1), jnp.int32),
+         jnp.ones((_SUB, 1), jnp.int32), jnp.int32(0)))
+    it_out[:] = fin[5] + jnp.zeros((_SUB, _LANE), jnp.int32)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu" or any(
+        d.platform in ("tpu", "axon") for d in jax.devices()
+    )
+
+
+def raycast_subblock(scene, origin, direction, active=None,
+                     interpret: bool | None = None,
+                     debug_iters: bool = False):
+    """Nearest hit via the work-stealing sub-block kernel.
+
+    Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
+    p2_remap; built by Scene.send).  R must be a multiple of 128.
+    """
+    R = origin.shape[0]
+    if R % _LANE:
+        raise ValueError(f"ray count {R} must be a multiple of {_LANE}")
+    if scene.p2_node_rows.shape[0] == 0:
+        raise ValueError("scene has no sub-block tables (exceeded caps?)")
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    P = R // _LANE
+    pad_p = (-P) % POOL
+    Pp = P + pad_p
+
+    def prep(x, fill=0.0):
+        x = x.reshape(P, _LANE)
+        if pad_p:
+            x = jnp.concatenate(
+                [x, jnp.full((pad_p, _LANE), fill, x.dtype)])
+        return x
+
+    ox, oy, oz = (prep(origin[:, i]) for i in range(3))
+    # pad directions with 1s so 1/d stays finite on dead pad packets
+    dx, dy, dz = (prep(direction[:, i], 1.0) for i in range(3))
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    t0 = jnp.full((R,), BIG, jnp.float32)
+    if active is not None:
+        t0 = jnp.where(active, t0, -BIG)
+    t0 = prep(t0, -BIG)
+
+    Wr = scene.p2_node_rows.shape[0]
+    Qr = scene.p2_tri_rows.shape[0]
+    grid = Pp // POOL
+
+    blk = pl.BlockSpec((POOL, _LANE), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    it_blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    t, slot, iters = pl.pallas_call(
+        partial(_traverse_kernel, n_wide=Wr, n_oct=Qr),
+        grid=(grid,),
+        in_specs=[blk] * 10 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
+        out_specs=[blk, blk, it_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((Pp, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((grid * _SUB, _LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, STACK_N), jnp.int32),
+            pltpu.VMEM((_SUB, STACK_L), jnp.int32),
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),   # node_scr
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),   # tri_scr
+            pltpu.VMEM((_SUB, _LANE), jnp.int32),     # xfer
+        ] + [pltpu.VMEM((_SUB, _LANE), jnp.float32)] * 10  # rays + t0
+          + [pltpu.VMEM((_SUB, _LANE), jnp.float32)]       # claim_scr
+          + [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((_SUB,), jnp.int32)],
+        interpret=interpret,
+    )(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
+      scene.p2_node_rows, scene.p2_tri_rows)
+
+    t = t.reshape(Pp * _LANE)[:R]
+    slot = slot.reshape(Pp * _LANE)[:R]
+    did_hit = (t < BIG) & (t > -BIG)
+    tri = scene.p2_remap[jnp.clip(slot, 0, scene.p2_remap.shape[0] - 1)]
+
+    safe_tri = jnp.where(did_hit, tri, 0)
+    _, _, u, v = mt_single(
+        origin, direction,
+        scene.v0[safe_tri], scene.e1[safe_tri],
+        scene.e2[safe_tri], scene.face[safe_tri],
+    )
+    near = Nearest(
+        t=jnp.where(did_hit, t, BIG),
+        tri=tri,
+        u=jnp.where(did_hit, u, 0.0),
+        v=jnp.where(did_hit, v, 0.0),
+    )
+    if active is not None:
+        near = near._replace(t=jnp.where(active, near.t, BIG))
+    if debug_iters:
+        return near, iters[::_SUB, 0]
+    return near

@@ -1,0 +1,218 @@
+"""Sub-block traversal tables: 8-wide BVH in a ROW layout + octet leaves.
+
+Round-2 redesign of the wide BVH packing (ops/wide_bvh.py) for the
+work-stealing sub-block kernel (ops/subblock_traversal.py).  The round-1
+kernel marries 1024 rays to ONE node pointer, so it pays the union of all
+their node visits; measured on real bounce rays (experiments/packet_stats)
+a 128-ray packet's union is ~4x smaller and packets are ~2.5x imbalanced
+inside a 1024-block.  The fix is 8 *independent* 128-ray packets per
+kernel instance — which requires a node record to be ONE dynamically
+loadable row:
+
+* ``node_rows (Wp, 128) f32`` — wide node w = row w:
+  - lanes ``[j*6, j*6+6)``: child j's [bmin.xyz, bmax.xyz]; empty slots
+    hold swapped finite bounds (+BIG/-BIG; they'd pass a canonicalizing
+    slab test, but the kernel tests min/max in slot form so they miss —
+    and the EMPTY sentinel gates the push regardless)
+  - lanes ``[ORD0 + o*8 + i]``: per-octant far-first push entries packed
+    as exact-integer floats ``entry*8 + slot`` (rank i pops later ranks
+    first: a LIFO stack makes far-first pushes near-first pops)
+* ``tri_rows (Qp, 128) f32`` — leaf octet q = row q: triangle j at lanes
+  ``[j*16, j*16+12)`` as [v0.xyz, e1.xyz, e2.xyz, face.xyz]; every leaf
+  is EXACTLY ONE octet (the binary build uses max 8 tris/leaf), so a leaf
+  pop is one row load.
+* ``remap (Qp*8,) i32`` — slot ``q*8+j`` -> triangle index into the
+  scene's (main-BVH-permuted) arrays; padding slots are 0 and hold
+  degenerate triangles the epsilon test rejects.
+
+Entries: internal child -> wide index (>= 0); leaf child -> ``-q - 1``;
+empty -> EMPTY_PACKED (same sentinel scheme as ops/wide_bvh.py).
+
+Reference behavior matched: per-ray-sized traversal work of the GLSL
+stack walk (fragment.glsl:246-307) with near-first child ordering and
+`tNear > closestT` pruning (fragment.glsl:261-262).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from opengl_raytracer_tpu.ops.bvh import BVH, build_bvh
+
+WIDTH = 8
+LEAF_TRIS = 8  # one octet per leaf, by construction
+ORD0 = 48
+EMPTY_PACKED = -(1 << 20)
+_BIG = np.float32(1e30)
+
+# Packing caps (see the kernel's xfer word: done<<31 | node<<16 | octet).
+MAX_WIDE_NODES = 1 << 15
+MAX_OCTETS = 1 << 16
+# Kernel stack bounds (must match subblock_traversal.py).
+STACK_N = 128
+
+
+class SubblockTables(NamedTuple):
+    node_rows: np.ndarray  # (Wp, 128) f32
+    tri_rows: np.ndarray   # (Qp, 128) f32
+    remap: np.ndarray      # (Qp*8,) i32
+    num_wide: int
+    num_octets: int
+    max_depth: int
+
+
+def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                   tri16: np.ndarray, method: str = "sah") -> SubblockTables:
+    """Build the sub-block tables over triangles ALREADY in the scene's
+    final (main-BVH-permuted) order.  ``tri16 (T, 16)`` carries each
+    triangle's [v0, e1, e2, face] padded row.  A separate leaf<=8 binary
+    BVH is built here; its permutation is folded into ``remap`` so the
+    kernel's winning slot maps straight into the scene arrays."""
+    bvh = build_bvh(v0, v1, v2, LEAF_TRIS, method=method)
+    N = bvh.num_nodes
+    is_leaf = bvh.node_count > 0
+    leaf_ids = np.nonzero(is_leaf)[0]
+    Q = len(leaf_ids)
+    if Q >= MAX_OCTETS:
+        raise ValueError(f"scene has {Q} leaf octets; sub-block kernel caps "
+                         f"at {MAX_OCTETS} (use the packet traversal)")
+
+    # octet id per binary leaf
+    leaf_octet = np.zeros(N, np.int64)
+    leaf_octet[leaf_ids] = np.arange(Q)
+
+    Qp = max(-(-Q // 8) * 8, 8)
+    remap = np.zeros(Qp * 8, np.int64)
+    tri_rows16 = np.zeros((Qp * 8, 16), np.float32)
+    for q, b in enumerate(leaf_ids):
+        first = int(bvh.node_first[b])
+        cnt = int(bvh.node_count[b])
+        ids = bvh.perm[first:first + cnt]  # indices into the caller's arrays
+        remap[q * 8:q * 8 + cnt] = ids
+        tri_rows16[q * 8:q * 8 + cnt] = tri16[ids]
+    tri_rows = tri_rows16.reshape(Qp, 128)
+
+    # --- 8-wide collapse (same rule as ops/wide_bvh.collapse_wide:
+    # repeatedly expand the internal slot with the largest subtree) ---
+    span = np.minimum(bvh.node_miss, N) - np.arange(N)
+    children: list[list[int]] = []
+    wide_of: dict[int, int] = {}
+
+    def make_wide(root: int) -> int:
+        slots = [int(root)]
+        while len(slots) < WIDTH:
+            best, best_size = -1, 0
+            for k, b in enumerate(slots):
+                if not is_leaf[b] and span[b] > best_size:
+                    best, best_size = k, int(span[b])
+            if best < 0:
+                break
+            b = slots.pop(best)
+            left = b + 1
+            right = int(bvh.node_miss[left])
+            slots.extend([left, right])
+        children.append(slots)
+        return len(children) - 1
+
+    root = make_wide(0)
+    queue = [root]
+    depth_of = {root: 0}
+    max_depth = 0
+    qi = 0
+    while qi < len(queue):
+        w = queue[qi]
+        qi += 1
+        for b in children[w]:
+            if not is_leaf[b]:
+                cw = make_wide(b)
+                wide_of[b] = cw
+                depth_of[cw] = depth_of[w] + 1
+                max_depth = max(max_depth, depth_of[cw])
+                queue.append(cw)
+
+    W = len(children)
+    if W >= MAX_WIDE_NODES:
+        raise ValueError(f"{W} wide nodes exceeds the sub-block cap "
+                         f"{MAX_WIDE_NODES}")
+    if (max_depth + 2) * (WIDTH - 1) + 4 > STACK_N:
+        raise ValueError(f"wide depth {max_depth} exceeds the kernel's "
+                         f"{STACK_N}-entry node stack")
+
+    Wp = max(-(-W // 8) * 8, 8)
+    rows = np.zeros((Wp, 128), np.float32)
+    # empty slots: swapped bounds so the slot-form slab test (min from
+    # lanes 0-2, max from 3-5, no canonicalization... the kernel computes
+    # t1/t2 per axis and min/maxes them, which DOES canonicalize — hence
+    # empties can pass; exclusion is via the EMPTY_PACKED push sentinel)
+    for j in range(WIDTH):
+        rows[:, j * 6:j * 6 + 3] = _BIG
+        rows[:, j * 6 + 3:j * 6 + 6] = -_BIG
+    rows[:, ORD0:ORD0 + 64] = np.float32(EMPTY_PACKED * 8)
+
+    entry = np.full((W, WIDTH), np.int64(EMPTY_PACKED), np.int64)
+    cmin = np.full((W, WIDTH, 3), _BIG, np.float32)
+    cmax = np.full((W, WIDTH, 3), -_BIG, np.float32)
+    for w, slots in enumerate(children):
+        for j, b in enumerate(slots):
+            cmin[w, j] = bvh.node_min[b]
+            cmax[w, j] = bvh.node_max[b]
+            rows[w, j * 6:j * 6 + 3] = bvh.node_min[b]
+            rows[w, j * 6 + 3:j * 6 + 6] = bvh.node_max[b]
+            entry[w, j] = (-leaf_octet[b] - 1) if is_leaf[b] else wide_of[b]
+
+    # per-octant far-first orders -> packed floats in lanes ORD0..ORD0+64
+    centroids = (cmin + cmax) * 0.5  # (W, 8, 3)
+    finite = cmin[..., 0] <= cmax[..., 0]
+    for o in range(8):
+        dsign = np.array([-1.0 if (o >> 2) & 1 else 1.0,
+                          -1.0 if (o >> 1) & 1 else 1.0,
+                          -1.0 if o & 1 else 1.0], np.float32)
+        key = centroids @ dsign
+        key = np.where(finite, key, np.inf)  # empties sort first (far end)
+        order = np.argsort(-key, axis=1, kind="stable")
+        ent_o = np.take_along_axis(entry, order, axis=1)
+        packed = np.where(ent_o == EMPTY_PACKED, np.int64(EMPTY_PACKED) * 8,
+                          ent_o * 8 + order)
+        assert np.abs(packed).max() < (1 << 24)
+        rows[:W, ORD0 + o * 8:ORD0 + o * 8 + 8] = packed.astype(np.float32)
+
+    return SubblockTables(
+        node_rows=rows,
+        tri_rows=tri_rows,
+        remap=remap.astype(np.int32),
+        num_wide=W,
+        num_octets=Qp,
+        max_depth=max_depth,
+    )
+
+
+def validate_subblock(tables: SubblockTables, n_tris: int) -> None:
+    """Invariants: every triangle appears exactly once across leaf octets;
+    every octet is reachable exactly once from the root via packed orders."""
+    seen_oct = []
+    stack = [0]
+    rows = tables.node_rows
+    while stack:
+        w = stack.pop()
+        # decode slot-ordered entries from octant 0's packed lanes
+        packed = rows[w, ORD0:ORD0 + 8].astype(np.int64)
+        for p in packed:
+            p = int(p)
+            if p == EMPTY_PACKED * 8:
+                continue
+            ent = p >> 3
+            if ent >= 0:
+                stack.append(ent)
+            else:
+                seen_oct.append(-ent - 1)
+    assert len(seen_oct) == len(set(seen_oct)), "duplicate octet reachability"
+    tri_seen = sorted(
+        int(tables.remap[q * 8 + j])
+        for q in seen_oct
+        for j in range(8)
+        if np.any(tables.tri_rows[q, j * 16 + 9:j * 16 + 12])  # face != 0
+    )
+    # padded degenerate tris excluded by the face!=0 filter above
+    assert len(tri_seen) == len(set(tri_seen)), "triangle appears twice"

@@ -89,7 +89,7 @@ def sharded_accum_step(scene, camera, accum, frame_count, sky_brightness,
         colors = render_pixels(
             scene, config, camera, frame, sky, jit_amt, lam,
             px.reshape(-1), py.reshape(-1), raycast_fn,
-            reorder=traversal in ("packet", "pallas"),
+            reorder=traversal in ("packet", "pallas", "pallas2"),
         ).reshape(local_h, W, 3)
 
         summed = jax.lax.psum(colors, "sp")

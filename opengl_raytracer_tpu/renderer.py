@@ -90,6 +90,10 @@ def make_raycast_fn(scene, config: RenderConfig, traversal: str):
         from opengl_raytracer_tpu.ops.pallas_traversal import raycast_pallas
 
         return partial(raycast_pallas, scene, max_leaf_tris=leaf)
+    if traversal == "pallas2":
+        from opengl_raytracer_tpu.ops.subblock_traversal import raycast_subblock
+
+        return partial(raycast_subblock, scene)
     raise ValueError(f"unknown traversal {traversal!r}")
 
 
@@ -185,10 +189,11 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     # The Pallas path keeps all per-ray state in-kernel, so whole-frame
     # chunks amortize fixed costs and let the coherence sort work globally;
     # the XLA paths carry state in HBM and need bounded chunks.
-    default_chunk = 4 * 1024 * 1024 if traversal == "pallas" else 128 * 1024
+    default_chunk = (4 * 1024 * 1024 if traversal in ("pallas", "pallas2")
+                     else 128 * 1024)
     chunk = config.ray_chunk or min(R, default_chunk)
     chunk = min(chunk, R)
-    if traversal in ("packet", "pallas"):
+    if traversal in ("packet", "pallas", "pallas2"):
         chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
     n_chunks = -(-R // chunk)
     pad = n_chunks * chunk - R
@@ -199,7 +204,7 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     body = partial(
         render_pixels, scene, config, camera, frame_count,
         sky_brightness, jitter_amount, lambertian, raycast_fn=raycast_fn,
-        reorder=traversal in ("packet", "pallas"),
+        reorder=traversal in ("packet", "pallas", "pallas2"),
     )
 
     if n_chunks == 1:
@@ -266,13 +271,24 @@ class Renderer:
                 # interpret-mode Pallas is far too slow for rendering
                 traversal = "packet"
             else:
-                # The Pallas kernel keeps the whole scene in VMEM (~16 MB
+                # Pallas kernels keep the whole scene in VMEM (~16 MB
                 # scoped budget); very large scenes fall back to the XLA
-                # packet path rather than failing to compile.
+                # packet path rather than failing to compile.  The
+                # work-stealing sub-block kernel (pallas2) is the fast
+                # path; its tables are empty when the scene exceeded its
+                # caps (ops/wide2.py), in which case the round-1 kernel
+                # or the packet path take over.
+                p2_bytes = (
+                    scene_data.p2_node_rows.nbytes
+                    + scene_data.p2_tri_rows.nbytes
+                )
                 scene_bytes = (
                     scene_data.pl_tri_tiles.nbytes + scene_data.pw_tiles.nbytes
                 )
-                if scene_bytes <= 13 * 1024 * 1024:
+                if (scene_data.p2_node_rows.shape[0] > 0
+                        and p2_bytes <= 12 * 1024 * 1024):
+                    traversal = "pallas2"
+                elif scene_bytes <= 13 * 1024 * 1024:
                     traversal = "pallas"
                 else:
                     import warnings
