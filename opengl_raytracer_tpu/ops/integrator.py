@@ -121,12 +121,30 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
 
         if reorder:
             # Primary rays (i == 0) arrive screen-coherent; sorting only
-            # pays off on bounce rays.
+            # pays off on bounce rays.  The reorder is a multi-operand
+            # lax.sort carrying every per-ray column THROUGH the sort
+            # network: measured ~5x cheaper on TPU than argsort followed
+            # by random-index gathers (XLA gathers are near-scalar; the
+            # bitonic network's data movement is dense vector work).
             def do_sort(args):
                 origin, direction, ray_color, incoming, alive, seed, orig = args
                 keys = ray_sort_keys(origin, direction, scene_lo, scene_hi, alive)
-                perm = jnp.argsort(keys)
-                return tuple(a[perm] for a in args)
+                sorted_ops = jax.lax.sort(
+                    (keys,
+                     origin[:, 0], origin[:, 1], origin[:, 2],
+                     direction[:, 0], direction[:, 1], direction[:, 2],
+                     ray_color[:, 0], ray_color[:, 1], ray_color[:, 2],
+                     incoming[:, 0], incoming[:, 1], incoming[:, 2],
+                     alive, seed, orig),
+                    num_keys=1,
+                )
+                (_, o0, o1, o2, d0, d1, d2, c0, c1, c2, i0, i1, i2,
+                 alive_s, seed_s, orig_s) = sorted_ops
+                return (jnp.stack([o0, o1, o2], axis=-1),
+                        jnp.stack([d0, d1, d2], axis=-1),
+                        jnp.stack([c0, c1, c2], axis=-1),
+                        jnp.stack([i0, i1, i2], axis=-1),
+                        alive_s, seed_s, orig_s)
 
             (origin, direction, ray_color, incoming, alive, seed, orig) = (
                 jax.lax.cond(
@@ -173,9 +191,13 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     state = jax.lax.while_loop(cond, body, state)
     incoming, seed, orig = state[4], state[6], state[7]
     if reorder:
-        inv = jnp.argsort(orig)
-        incoming = incoming[inv]
-        seed = seed[inv]
+        # Restore pixel order: one more multi-operand sort keyed by the
+        # original index (cheaper than argsort + gathers, see above).
+        _, i0, i1, i2, seed = jax.lax.sort(
+            (orig, incoming[:, 0], incoming[:, 1], incoming[:, 2], seed),
+            num_keys=1,
+        )
+        incoming = jnp.stack([i0, i1, i2], axis=-1)
     return incoming, seed
 
 

@@ -5,32 +5,38 @@ node pointer, so every node it visits is the UNION of 8 packets' needs and
 every opened leaf is tested against all 1024 rays.  Measured on real
 bounce rays (experiments/packet_stats.py, minidragon 1080p): a 128-ray
 packet needs ~50 node+octet pops on average while the 1024-block pays
-~217 heavier iterations, and packets inside a block are ~2.5x imbalanced.
+~217 heavier iterations, and packets inside a block are ~1.4-2.5x
+imbalanced.
 
 This kernel runs EIGHT INDEPENDENT 128-ray packets per instance — one per
 sublane row — each with its own node pointer, its own dual stacks (node
 stack + leaf-octet stack), and its own progress.  When a row finishes its
 packet it *steals the next packet* from the grid step's pool (a shared
-SMEM counter), so fast rows absorb the stragglers' imbalance; iterations
-per pool ~ mean packet cost, not max.
+SMEM counter), so fast rows absorb the stragglers' imbalance.
 
-Per iteration, all work is dense (8,128) vector math (no per-row
-branches — the round-1 negative result):
+Per iteration, all work is dense (8,128) vector math with BRANCH-FREE
+claims (conditional per-row claim blocks measured ~5.5 us per firing —
+fatal on short packets; instead ONE done row is served per iteration with
+unconditional dynamic loads/stores routed to a dummy row when idle):
 
   1. pop one node entry and one octet entry per row (one-hot reads from
      VMEM stacks; the octet stack throttles node pops when nearly full)
-  2. pack (node, octet, done) per row into an i32 word, store to a VMEM
-     tile, read 8 scalars back (the Mosaic-safe computed-scalar path;
-     verified on hardware by experiments/subblock_correct.py)
-  3. done rows: write the finished packet's results, claim the next
-     packet (dynamic row loads of its rays), all inside rare pl.when
+  2. pack (node, octet) per row into an i32 word, store to a VMEM tile,
+     read 8 scalars back (the Mosaic-safe computed-scalar path; verified
+     on hardware by experiments/subblock_correct.py)
+  3. serve the lowest done row: copy its finished results to the output
+     rows (best t/slot/u/v live in VMEM scratch so rows are dynamically
+     addressable), then claim the next pool packet (10 dynamic row loads
+     of its rays); all stores target scratch row 8 / output row POOL
+     (dummies) when there is nothing to serve
   4. 16 dynamic row loads: each row's wide-node row + octet row
   5. expand: 8 static-j child slab tests, child j's bounds broadcast
      from lanes [j*6, j*6+6) of each row's node record
   6. push: per-row octant selects the precomputed far-first order block
      (8 lanes); entries push into the stacks via one-hot vector writes
   7. leaf: 8 static-j Moller-Trumbore tests, triangle j broadcast from
-     lanes [j*16, j*16+12) of each row's octet record
+     lanes [j*16, j*16+12) of each row's octet record; u/v of the winner
+     are kept in-kernel so the host wrapper needs no recompute pass
 
 Exact reference semantics preserved: slab entry clamp and -1 miss
 (fragment.glsl:181-204), `tNear > closestT` pruning (fragment.glsl:261),
@@ -49,41 +55,42 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from opengl_raytracer_tpu.ops.intersect import BIG, EPS, Nearest, mt_single
+from opengl_raytracer_tpu.ops.intersect import BIG, EPS, Nearest
 from opengl_raytracer_tpu.ops.wide2 import EMPTY_PACKED, ORD0
 
 _SUB, _LANE = 8, 128
+_SCR = 16           # scratch rows: 0-7 live, 8 dummy claim target
 POOL = 64           # packets per grid step (8192 rays)
+OUTR = POOL + 8     # output rows per step: POOL real + dummy row POOL
 STACK_N = 128       # per-row node stack (lanes)
 STACK_L = 256       # per-row leaf-octet stack (lanes)
-_SIGN = np.int32(-(2**31))
 _INT_BIG = np.int32(2**31 - 1)
 
 
 def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
                      node_rows, tri_rows,
-                     t_out, slot_out, it_out,
+                     t_out, slot_out, u_out, v_out, it_out,
                      stack_n, stack_l, node_scr, tri_scr, xfer,
                      so_x, so_y, so_z, sd_x, sd_y, sd_z,
-                     si_x, si_y, si_z, st0, claim_scr,
+                     si_x, si_y, si_z, st0, flag_scr,
+                     bt_scr, bsl_scr, bu_scr, bv_scr,
                      cnt, pkt_ids,
                      *, n_wide: int, n_oct: int):
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_N), 1)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
 
     cnt[0] = jnp.int32(0)
-    for r in range(_SUB):
+    for r in range(_SCR):
         pkt_ids[r] = jnp.int32(-1)
     stack_n[:] = jnp.zeros((_SUB, STACK_N), jnp.int32)
     stack_l[:] = jnp.zeros((_SUB, STACK_L), jnp.int32)
 
     def cond(c):
-        has = c[4]
-        return jnp.max(has) > 0
+        return jnp.max(c[2]) > 0
 
     def body(c):
-        bt, bsl, spn, spl, has, it = c                 # has: i32 0/1 (Mosaic
-        # cannot select between i1 vectors, so the flag is carried as int)
+        spn, spl, has, it = c                          # has: i32 0/1
 
         # ---- 1. pops ----
         done = (spn <= 0) & (spl <= 0) & (has > 0)     # (8,1)
@@ -102,74 +109,79 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
 
         # ---- 2. scalar extraction via VMEM round-trip ----
         word = idx_n * 65536 + idx_l
-        word = jnp.where(done, word + _SIGN, word)
         xfer[:] = word + jnp.zeros((_SUB, _LANE), jnp.int32)
 
-        any_done = jnp.any(done)
+        # ---- 3. branch-free serve-one claim ----
+        # Branch-free serve: pl.when-gating this block measured SLOWER
+        # (Mosaic branches stall the pipeline); idle iterations route every
+        # store to dummy scratch row 8 / dummy output row POOL instead.
+        r_star = jnp.min(jnp.where(done, sub_iota, _SUB))  # scalar
+        serving = r_star < _SUB
+        dst = jnp.where(serving, r_star, _SUB)             # dummy row 8
+        old = pkt_ids[dst]
+        out_row = jnp.where(serving & (old >= 0), old, POOL)
+        # finished packet's results -> output (dummy row when idle)
+        t_out[out_row] = bt_scr[dst]
+        slot_out[out_row] = bsl_scr[dst]
+        u_out[out_row] = bu_scr[dst]
+        v_out[out_row] = bv_scr[dst]
+        # claim the next packet (or mark the row dry)
+        nxt = cnt[0]
+        got = serving & (nxt < POOL)
+        src = jnp.minimum(nxt, POOL - 1)
+        cnt[0] = nxt + got.astype(jnp.int32)
+        pkt_ids[dst] = jnp.where(got, nxt, -1)
+        so_x[dst] = ox[src]
+        so_y[dst] = oy[src]
+        so_z[dst] = oz[src]
+        sd_x[dst] = dx[src]
+        sd_y[dst] = dy[src]
+        sd_z[dst] = dz[src]
+        si_x[dst] = ix[src]
+        si_y[dst] = iy[src]
+        si_z[dst] = iz[src]
+        st0[dst] = t0[src]
+        # the pool-dry flag crosses to the vector side through memory
+        # (Mosaic has no dynamic-scalar lane broadcast)
 
-        # ---- 3. finish + claim (rare; scalar work under pl.when) ----
-        @pl.when(any_done)
-        def _claims():
-            for r in range(_SUB):
-                v = xfer[r, 0]
+        @pl.when(got)
+        def _():
+            flag_scr[dst] = jnp.ones((_LANE,), jnp.float32)
 
-                @pl.when(v < 0)
-                def _():
-                    old = pkt_ids[r]
+        @pl.when(jnp.logical_not(got))
+        def _():
+            flag_scr[dst] = jnp.zeros((_LANE,), jnp.float32)
 
-                    @pl.when(old >= 0)
-                    def _():
-                        t_out[old] = bt[r]
-                        slot_out[old] = bsl[r]
-
-                    nxt = cnt[0]
-
-                    @pl.when(nxt < POOL)
-                    def _():
-                        pkt_ids[r] = nxt
-                        cnt[0] = nxt + 1
-                        so_x[r] = ox[nxt]
-                        so_y[r] = oy[nxt]
-                        so_z[r] = oz[nxt]
-                        sd_x[r] = dx[nxt]
-                        sd_y[r] = dy[nxt]
-                        sd_z[r] = dz[nxt]
-                        si_x[r] = ix[nxt]
-                        si_y[r] = iy[nxt]
-                        si_z[r] = iz[nxt]
-                        st0[r] = t0[nxt]
-                        claim_scr[r] = jnp.ones((_LANE,), jnp.float32)
-
-                    @pl.when(nxt >= POOL)
-                    def _():
-                        pkt_ids[r] = jnp.int32(-1)
-                        st0[r] = jnp.full((_LANE,), -BIG, jnp.float32)
-                        claim_scr[r] = jnp.zeros((_LANE,), jnp.float32)
-
-        # ---- 4. dynamic row loads (unconditional; done rows load row 0,
-        # which for the node table is the root they're about to expand) ----
-        xfer2 = xfer[:]  # force the claim block to sequence before reads
-        del xfer2
+        # ---- 4. dynamic row loads (idle rows load row 0 = the root the
+        # freshly served row is about to expand) ----
         for r in range(_SUB):
-            v = xfer[r, 0] & _INT_BIG
+            v = xfer[r, 0]
             node_scr[r] = node_rows[v >> 16]
             tri_scr[r] = tri_rows[v & 65535]
 
         # ---- vector-side claim effects ----
-        got = done & (claim_scr[:, 0:1] > 0.5)
-        bt = jnp.where(done, st0[:], bt)
-        bsl = jnp.where(done, 0, bsl)
-        has = jnp.where(done, got.astype(jnp.int32), has)
-        act_n_eff = act_n | got                        # fresh rows expand root
+        served = done & (sub_iota == r_star)
+        gm = flag_scr[0:_SUB, 0:1] > 0.5               # stale rows masked below
+        claimed = served & gm                          # row got fresh rays
+        dried = served & ~gm                           # pool exhausted
+        has = jnp.where(served, 0, has) + claimed.astype(jnp.int32)
+        act_n_eff = act_n | claimed                    # fresh row expands root
 
-        o_x, o_y, o_z = so_x[:], so_y[:], so_z[:]
-        d_x, d_y, d_z = sd_x[:], sd_y[:], sd_z[:]
-        inv_x, inv_y, inv_z = si_x[:], si_y[:], si_z[:]
+        bt = jnp.where(claimed, st0[0:_SUB],
+                       jnp.where(dried, -BIG, bt_scr[0:_SUB]))
+        bsl = jnp.where(served, 0, bsl_scr[0:_SUB])
+        bu = jnp.where(served, 0.0, bu_scr[0:_SUB])
+        bv = jnp.where(served, 0.0, bv_scr[0:_SUB])
+
+        o_x, o_y, o_z = so_x[0:_SUB], so_y[0:_SUB], so_z[0:_SUB]
+        d_x, d_y, d_z = sd_x[0:_SUB], sd_y[0:_SUB], sd_z[0:_SUB]
+        inv_x, inv_y, inv_z = si_x[0:_SUB], si_y[0:_SUB], si_z[0:_SUB]
         nrow = node_scr[:]
         trow = tri_scr[:]
 
         # per-row dominant octant (rows are sorted coherent; recomputed
-        # each iteration because claims swap rays in)
+        # each iteration because claims swap rays in — cheaper than loading
+        # a precomputed octant input, which measured slower)
         octant = (
             ((jnp.sum(d_x, axis=1, keepdims=True) < 0.0).astype(jnp.int32) << 2)
             | ((jnp.sum(d_y, axis=1, keepdims=True) < 0.0).astype(jnp.int32) << 1)
@@ -221,7 +233,6 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
 
         # ---- 7. leaf: 8 triangles, slot j at lanes [j*16, j*16+12) ----
         slot_base = idx_l * 8
-        act_l_row = act_l
         for j in range(8):
             b = j * 16
             v0x, v0y, v0z = (trow[:, b + 0:b + 1], trow[:, b + 1:b + 2],
@@ -245,20 +256,25 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             vv = (e1x * px + e1y * py + e1z * pz) * inv_det
             valid = ((jnp.abs(det) >= EPS) & (t > EPS)
                      & (u >= 0.0) & (vv >= 0.0) & ((u + vv) <= 1.0)
-                     & act_l_row)
+                     & act_l)
             better = valid & (t < bt)                  # strict <, glsl:275
             bt = jnp.where(better, t, bt)
             bsl = jnp.where(better, slot_base + j, bsl)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, vv, bv)
 
-        return bt, bsl, pos_n, pos_l, has, it + 1
+        bt_scr[0:_SUB] = bt
+        bsl_scr[0:_SUB] = bsl
+        bu_scr[0:_SUB] = bu
+        bv_scr[0:_SUB] = bv
 
-    bt0 = jnp.full((_SUB, _LANE), -BIG, jnp.float32)
+        return pos_n, pos_l, has, it + 1
+
     fin = jax.lax.while_loop(
         cond, body,
-        (bt0, jnp.zeros((_SUB, _LANE), jnp.int32),
-         jnp.zeros((_SUB, 1), jnp.int32), jnp.zeros((_SUB, 1), jnp.int32),
+        (jnp.zeros((_SUB, 1), jnp.int32), jnp.zeros((_SUB, 1), jnp.int32),
          jnp.ones((_SUB, 1), jnp.int32), jnp.int32(0)))
-    it_out[:] = fin[5] + jnp.zeros((_SUB, _LANE), jnp.int32)
+    it_out[:] = fin[3] + jnp.zeros((_SUB, _LANE), jnp.int32)
 
 
 def _on_tpu() -> bool:
@@ -298,6 +314,7 @@ def raycast_subblock(scene, origin, direction, active=None,
     # pad directions with 1s so 1/d stays finite on dead pad packets
     dx, dy, dz = (prep(direction[:, i], 1.0) for i in range(3))
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
     t0 = jnp.full((R,), BIG, jnp.float32)
     if active is not None:
         t0 = jnp.where(active, t0, -BIG)
@@ -309,47 +326,55 @@ def raycast_subblock(scene, origin, direction, active=None,
 
     blk = pl.BlockSpec((POOL, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((OUTR, _LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    it_blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    it_blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    t, slot, iters = pl.pallas_call(
+    f32 = jnp.float32
+    t, slot, u, v, iters = pl.pallas_call(
         partial(_traverse_kernel, n_wide=Wr, n_oct=Qr),
         grid=(grid,),
         in_specs=[blk] * 10 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
-        out_specs=[blk, blk, it_blk],
+        out_specs=[out_blk, out_blk, out_blk, out_blk, it_blk],
         out_shape=[
-            jax.ShapeDtypeStruct((Pp, _LANE), jnp.float32),
-            jax.ShapeDtypeStruct((Pp, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((grid * OUTR, _LANE), f32),
+            jax.ShapeDtypeStruct((grid * OUTR, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((grid * OUTR, _LANE), f32),
+            jax.ShapeDtypeStruct((grid * OUTR, _LANE), f32),
             jax.ShapeDtypeStruct((grid * _SUB, _LANE), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_SUB, STACK_N), jnp.int32),
             pltpu.VMEM((_SUB, STACK_L), jnp.int32),
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),   # node_scr
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),   # tri_scr
+            pltpu.VMEM((_SUB, _LANE), f32),           # node_scr
+            pltpu.VMEM((_SUB, _LANE), f32),           # tri_scr
             pltpu.VMEM((_SUB, _LANE), jnp.int32),     # xfer
-        ] + [pltpu.VMEM((_SUB, _LANE), jnp.float32)] * 10  # rays + t0
-          + [pltpu.VMEM((_SUB, _LANE), jnp.float32)]       # claim_scr
-          + [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((_SUB,), jnp.int32)],
+        ] + [pltpu.VMEM((_SCR, _LANE), f32)] * 11     # rays + t0 + flag
+          + [pltpu.VMEM((_SCR, _LANE), f32),          # bt
+             pltpu.VMEM((_SCR, _LANE), jnp.int32),    # bslot
+             pltpu.VMEM((_SCR, _LANE), f32),          # bu
+             pltpu.VMEM((_SCR, _LANE), f32)]          # bv
+          + [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((_SCR,), jnp.int32)],
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
       scene.p2_node_rows, scene.p2_tri_rows)
 
-    t = t.reshape(Pp * _LANE)[:R]
-    slot = slot.reshape(Pp * _LANE)[:R]
+    def unpad(a):
+        a = a.reshape(grid, OUTR, _LANE)[:, :POOL]
+        return a.reshape(Pp * _LANE)[:R]
+
+    t = unpad(t)
+    slot = unpad(slot)
+    u = unpad(u)
+    v = unpad(v)
     did_hit = (t < BIG) & (t > -BIG)
     tri = scene.p2_remap[jnp.clip(slot, 0, scene.p2_remap.shape[0] - 1)]
 
-    safe_tri = jnp.where(did_hit, tri, 0)
-    _, _, u, v = mt_single(
-        origin, direction,
-        scene.v0[safe_tri], scene.e1[safe_tri],
-        scene.e2[safe_tri], scene.face[safe_tri],
-    )
     near = Nearest(
         t=jnp.where(did_hit, t, BIG),
         tri=tri,
