@@ -194,15 +194,22 @@ def finalize_hit(scene, origin, direction, nearest: Nearest) -> Hit:
 
     point = origin + direction * nearest.t[:, None]
 
+    # Three 8-wide ROW gathers instead of eight column gathers: XLA TPU
+    # gathers cost roughly the same per row as per element (~15 ms per 2M
+    # indices), so packing the shading data 8-wide (Scene.send) cuts the
+    # per-bounce material fetch ~3x.
+    a = scene.sh_a[tri]  # [n0.xyz, n1.xyz, emission, roughness]
+    b = scene.sh_b[tri]  # [n2.xyz, face.xyz, 0, 0]
+    c = scene.sh_c[tri]  # [color.xyz, emission_color.xyz, 0, 0]
+    n0 = a[:, 0:3]
+    n1 = a[:, 3:6]
+    n2 = b[:, 0:3]
+    face = b[:, 3:6]
+
     u, v = nearest.u, nearest.v
     w = 1.0 - u - v
-    raw = (
-        scene.n0[tri] * w[:, None]
-        + scene.n1[tri] * u[:, None]
-        + scene.n2[tri] * v[:, None]
-    )
+    raw = n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
     raw_len = jnp.linalg.norm(raw, axis=-1, keepdims=True)
-    face = scene.face[tri]
     face_len = jnp.linalg.norm(face, axis=-1, keepdims=True)
     # fragment.glsl:155-160 — normalize, falling back to the geometric
     # normal when interpolation degenerates (guarded div instead of NaN).
@@ -219,8 +226,8 @@ def finalize_hit(scene, origin, direction, nearest: Nearest) -> Hit:
         t=nearest.t,
         point=point,
         normal=normal,
-        color=scene.color[tri],
-        emission=scene.emission[tri],
-        emission_color=scene.emission_color[tri],
-        roughness=scene.roughness[tri],
+        color=c[:, 0:3],
+        emission=a[:, 6],
+        emission_color=c[:, 3:6],
+        roughness=a[:, 7],
     )

@@ -285,11 +285,17 @@ class Renderer:
                 scene_bytes = (
                     scene_data.pl_tri_tiles.nbytes + scene_data.pw_tiles.nbytes
                 )
-                if (scene_data.p2_node_rows.shape[0] > 0
-                        and p2_bytes <= 12 * 1024 * 1024):
-                    traversal = "pallas2"
-                elif scene_bytes <= 13 * 1024 * 1024:
+                if scene_bytes <= 13 * 1024 * 1024:
+                    # the 1024-ray octant-ordered kernel still beats the
+                    # sub-block kernel end-to-end (1772 vs 1824 ms at
+                    # 1080p/4-bounce); revisit when pallas2's per-iteration
+                    # cost drops below ~1.2 us
                     traversal = "pallas"
+                elif (scene_data.p2_node_rows.shape[0] > 0
+                        and p2_bytes <= 12 * 1024 * 1024):
+                    # scenes too big for the round-1 kernel's VMEM budget
+                    # can still run the (leaner-table) sub-block kernel
+                    traversal = "pallas2"
                 else:
                     import warnings
 
