@@ -24,27 +24,6 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-class _ShardedAdapter:
-    """Renderer-shaped facade over ShardedRenderer for the bench loop."""
-
-    def __init__(self, sharded):
-        self._s = sharded
-
-    def init_state(self):
-        from opengl_raytracer_tpu.renderer import RenderState
-
-        return RenderState(accum=self._s.init_accum())
-
-    def step(self, state, camera):
-        accum, frames = self._s.step(camera, state.accum, state.frame_count)
-        return state.__class__(accum=accum, frame_count=frames)
-
-    def image(self, state):
-        import numpy as np
-
-        return np.asarray(state.accum)
-
-
 def main():
     import jax
 
@@ -80,7 +59,7 @@ def main():
 
         mesh = make_mesh(n_dev, dp=n_dev, sp=1)
         log(f"multi-chip: dp={n_dev} row-sharded rendering")
-        renderer = _ShardedAdapter(ShardedRenderer(scene, config, mesh))
+        renderer = ShardedRenderer(scene, config, mesh)
     else:
         renderer = Renderer(scene, config)
     camera = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)

@@ -71,6 +71,11 @@ class SceneData(NamedTuple):
     p2_node_rows: jnp.ndarray  # (Wp, 128) f32
     p2_tri_rows: jnp.ndarray  # (Qp, 128) f32
     p2_remap: jnp.ndarray  # (Qp*8,) i32 slot -> permuted tri
+    # Extra sub-block parts for scenes whose tables exceed one VMEM budget
+    # (ops/wide2.build_subblock_parts): each entry is (node_rows, tri_rows,
+    # remap) of an independent spatial partition; traversal chains them
+    # with cross-part best-t pruning.  () when one part suffices.
+    p2_extra: tuple
     # Shading data packed into 8-wide rows: TPU XLA gathers cost ~the same
     # per ROW as per element, so finalize_hit's per-triangle material and
     # normal fetch is 3 row-gathers instead of 8 column gathers (measured
@@ -282,15 +287,23 @@ class Scene:
 
         # Sub-block kernel tables: separate leaf<=8 build over the FINAL
         # (permuted) triangles; remap lands directly in that index space.
-        from opengl_raytracer_tpu.ops.wide2 import build_subblock
+        # Scenes whose tables exceed one VMEM budget are split into
+        # spatial parts (VERDICT item 6 de-cliffing).
+        from opengl_raytracer_tpu.ops.wide2 import build_subblock_parts
 
         T = self.total_triangles
+        p2_extra: tuple = ()
         try:
             if T > 0:
-                sb = build_subblock(v0[:T], v1[:T], v2[:T], tri16[:T])
-                p2_node_rows = sb.node_rows
-                p2_tri_rows = sb.tri_rows
-                p2_remap = sb.remap
+                parts = build_subblock_parts(v0[:T], v1[:T], v2[:T], tri16[:T])
+                p2_node_rows = parts[0].node_rows
+                p2_tri_rows = parts[0].tri_rows
+                p2_remap = parts[0].remap
+                p2_extra = tuple(
+                    (jnp.asarray(p.node_rows), jnp.asarray(p.tri_rows),
+                     jnp.asarray(p.remap))
+                    for p in parts[1:]
+                )
             else:
                 raise ValueError("empty scene")
         except ValueError:
@@ -342,6 +355,7 @@ class Scene:
             p2_node_rows=jnp.asarray(p2_node_rows),
             p2_tri_rows=jnp.asarray(p2_tri_rows),
             p2_remap=jnp.asarray(p2_remap),
+            p2_extra=p2_extra,
             sh_a=jnp.asarray(sh_a),
             sh_b=jnp.asarray(sh_b),
             sh_c=jnp.asarray(sh_c),

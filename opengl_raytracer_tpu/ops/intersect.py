@@ -178,8 +178,20 @@ def raycast_brute(scene, origin, direction, active=None,
             v=jnp.where(better, best_v, carry.v),
         ), None
 
-    carry, _ = jax.lax.scan(body, init_nearest(R), (v0s, e1s, e2s, faces, base))
-    if active is not None:
+    def run_scan(_):
+        carry, _ = jax.lax.scan(
+            body, init_nearest(R), (v0s, e1s, e2s, faces, base))
+        return carry
+
+    if active is None:
+        carry = run_scan(None)
+    else:
+        # Dead-ray early-out: a chunk whose rays are ALL terminated skips
+        # the entire triangle sweep (the brute path's analog of the
+        # traversal kernels' best_t = -inf gating).  Mixed chunks still
+        # sweep densely — rows of a matmul cannot be skipped.
+        carry = jax.lax.cond(jnp.any(active), run_scan,
+                             lambda _: init_nearest(R), None)
         carry = carry._replace(t=jnp.where(active, carry.t, BIG))
     return carry
 

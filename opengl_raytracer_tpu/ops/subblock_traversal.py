@@ -19,11 +19,13 @@ claims (conditional per-row claim blocks measured ~5.5 us per firing —
 fatal on short packets; instead ONE done row is served per iteration with
 unconditional dynamic loads/stores routed to a dummy row when idle):
 
-  1. pop one node entry and one octet entry per row (one-hot reads from
-     VMEM stacks; the octet stack throttles node pops when nearly full)
-  2. pack (node, octet) per row into an i32 word, store to a VMEM tile,
-     read 8 scalars back (the Mosaic-safe computed-scalar path; verified
-     on hardware by experiments/subblock_correct.py)
+  1. pop one node entry and up to TWO octet entries per row (one-hot
+     reads from VMEM stacks; the octet stack throttles node pops when
+     nearly full).  Dual octet pops nearly halve the iteration count of
+     leaf-bound bounce packets for ~25% more per-iteration work.
+  2. pack (node, octet, octet2) per row into i32 words at lanes 0/64 of
+     a VMEM tile, read scalars back (the Mosaic-safe computed-scalar
+     path; verified on hardware by experiments/subblock_correct.py)
   3. serve the lowest done row: copy its finished results to the output
      rows (best t/slot/u/v live in VMEM scratch so rows are dynamically
      addressable), then claim the next pool packet (10 dynamic row loads
@@ -70,7 +72,7 @@ _INT_BIG = np.int32(2**31 - 1)
 def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
                      node_rows, tri_rows,
                      t_out, slot_out, u_out, v_out, it_out,
-                     stack_n, stack_l, node_scr, tri_scr, xfer,
+                     stack_n, stack_l, node_scr, tri_scr, tri_scr2, xfer,
                      so_x, so_y, so_z, sd_x, sd_y, sd_z,
                      si_x, si_y, si_z, st0, flag_scr,
                      bt_scr, bsl_scr, bu_scr, bv_scr,
@@ -92,24 +94,35 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
     def body(c):
         spn, spl, has, it = c                          # has: i32 0/1
 
-        # ---- 1. pops ----
+        # ---- 1. pops: one node + up to TWO leaf octets per row ----
+        # Leaf pops dominate bounce-ray traversal (~2/3 of all pops), so
+        # draining two octets per iteration nearly halves the iteration
+        # count of leaf-bound packets for ~25% more per-iteration work.
         done = (spn <= 0) & (spl <= 0) & (has > 0)     # (8,1)
         act_n = (spn > 0) & (spl < STACK_L - 8)        # throttle node pops
         act_l = spl > 0
+        act_l2 = spl > 1
         spn1 = spn - act_n.astype(jnp.int32)
-        spl1 = spl - act_l.astype(jnp.int32)
+        spl1 = spl - act_l.astype(jnp.int32) - act_l2.astype(jnp.int32)
         sn_t = stack_n[:]
         sl_t = stack_l[:]
         e_n = jnp.sum(jnp.where(lane_n == spn1, sn_t, 0), axis=1,
                       keepdims=True)
-        e_l = jnp.sum(jnp.where(lane_l == spl1, sl_t, 0), axis=1,
+        e_l = jnp.sum(jnp.where(lane_l == (spl - 1), sl_t, 0), axis=1,
                       keepdims=True)
+        e_l2 = jnp.sum(jnp.where(lane_l == (spl - 2), sl_t, 0), axis=1,
+                       keepdims=True)
         idx_n = jnp.clip(jnp.where(act_n, e_n, 0), 0, n_wide - 1)
         idx_l = jnp.clip(jnp.where(act_l, -e_l - 1, 0), 0, n_oct - 1)
+        idx_l2 = jnp.clip(jnp.where(act_l2, -e_l2 - 1, 0), 0, n_oct - 1)
 
         # ---- 2. scalar extraction via VMEM round-trip ----
+        # lanes [0, 64): node<<16 | first octet; lanes [64, 128): second
+        # octet — one store still transfers all three indices per row.
         word = idx_n * 65536 + idx_l
-        xfer[:] = word + jnp.zeros((_SUB, _LANE), jnp.int32)
+        xfer[:] = jnp.concatenate(
+            [word + jnp.zeros((_SUB, 64), jnp.int32),
+             idx_l2 + jnp.zeros((_SUB, 64), jnp.int32)], axis=1)
 
         # ---- 3. branch-free serve-one claim ----
         # Branch-free serve: pl.when-gating this block measured SLOWER
@@ -158,6 +171,7 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             v = xfer[r, 0]
             node_scr[r] = node_rows[v >> 16]
             tri_scr[r] = tri_rows[v & 65535]
+            tri_scr2[r] = tri_rows[xfer[r, 64]]
 
         # ---- vector-side claim effects ----
         served = done & (sub_iota == r_star)
@@ -212,11 +226,18 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
         bits = jnp.where(act_n_eff, bits, 0)
 
         # ---- 6. push: far-first order block for this row's octant ----
+        # The naive form (8 sequential one-hot writes, each advancing the
+        # stack pointer) serially chains 16 full-stack-tile selects and
+        # measured 401 ns/iter — the largest phase.  Instead: compute every
+        # rank's push flag and position first (cheap (8,1)/(8,8) math), then
+        # OR the 8 independent one-hot contributions together as a balanced
+        # tree, touching each stack tile once.
         ordb = jnp.zeros((_SUB, 8), jnp.float32)
         for o in range(8):
             ordb = ordb + jnp.where(
                 octant == o, nrow[:, ORD0 + o * 8:ORD0 + o * 8 + 8], 0.0)
         pos_n, pos_l = spn1, spl1
+        ents, pns, plfs, posns, posls = [], [], [], [], []
         for i in range(8):
             pk = ordb[:, i:i + 1].astype(jnp.int32)
             ent = pk >> 3
@@ -224,44 +245,67 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             ok = (((bits >> sl) & 1) != 0) & (ent != EMPTY_PACKED)
             pn = ok & (ent >= 0) & (pos_n < STACK_N)
             plf = ok & (ent < 0) & (pos_l < STACK_L)
-            sn_t = jnp.where((lane_n == pos_n) & pn, ent, sn_t)
-            sl_t = jnp.where((lane_l == pos_l) & plf, ent, sl_t)
+            ents.append(ent)
+            pns.append(pn)
+            plfs.append(plf)
+            posns.append(pos_n)
+            posls.append(pos_l)
             pos_n = pos_n + pn.astype(jnp.int32)
             pos_l = pos_l + plf.astype(jnp.int32)
+
+        # Positions are strictly increasing per row, so the one-hot masks
+        # are disjoint: sum-combine is exact.  Each term is independent —
+        # the adds reduce as a tree instead of a serial select chain.
+        dn = [jnp.where((lane_n == posns[i]) & pns[i], ents[i] - sn_t, 0)
+              for i in range(8)]
+        dl = [jnp.where((lane_l == posls[i]) & plfs[i], ents[i] - sl_t, 0)
+              for i in range(8)]
+        while len(dn) > 1:
+            dn = [dn[k] + dn[k + 1] for k in range(0, len(dn), 2)]
+            dl = [dl[k] + dl[k + 1] for k in range(0, len(dl), 2)]
+        sn_t = sn_t + dn[0]
+        sl_t = sl_t + dl[0]
         stack_n[:] = sn_t
         stack_l[:] = sl_t
 
-        # ---- 7. leaf: 8 triangles, slot j at lanes [j*16, j*16+12) ----
-        slot_base = idx_l * 8
-        for j in range(8):
-            b = j * 16
-            v0x, v0y, v0z = (trow[:, b + 0:b + 1], trow[:, b + 1:b + 2],
-                             trow[:, b + 2:b + 3])
-            e1x, e1y, e1z = (trow[:, b + 3:b + 4], trow[:, b + 4:b + 5],
-                             trow[:, b + 5:b + 6])
-            e2x, e2y, e2z = (trow[:, b + 6:b + 7], trow[:, b + 7:b + 8],
-                             trow[:, b + 8:b + 9])
-            fx, fy, fz = (trow[:, b + 9:b + 10], trow[:, b + 10:b + 11],
-                          trow[:, b + 11:b + 12])
-            det = d_x * fx + d_y * fy + d_z * fz
-            inv_det = 1.0 / det
-            rx = o_x - v0x
-            ry = o_y - v0y
-            rz = o_z - v0z
-            t = -(rx * fx + ry * fy + rz * fz) * inv_det
-            px = ry * d_z - rz * d_y
-            py = rz * d_x - rx * d_z
-            pz = rx * d_y - ry * d_x
-            u = -(e2x * px + e2y * py + e2z * pz) * inv_det
-            vv = (e1x * px + e1y * py + e1z * pz) * inv_det
-            valid = ((jnp.abs(det) >= EPS) & (t > EPS)
-                     & (u >= 0.0) & (vv >= 0.0) & ((u + vv) <= 1.0)
-                     & act_l)
-            better = valid & (t < bt)                  # strict <, glsl:275
-            bt = jnp.where(better, t, bt)
-            bsl = jnp.where(better, slot_base + j, bsl)
-            bu = jnp.where(better, u, bu)
-            bv = jnp.where(better, vv, bv)
+        # ---- 7. leaf: 2 octets x 8 triangles, slot j at lanes
+        # [j*16, j*16+12) of each octet row ----
+        for trow_k, idx_k, act_k in ((trow, idx_l, act_l),
+                                     (tri_scr2[:], idx_l2, act_l2)):
+            slot_base = idx_k * 8
+            for j in range(8):
+                b = j * 16
+                v0x, v0y, v0z = (trow_k[:, b + 0:b + 1],
+                                 trow_k[:, b + 1:b + 2],
+                                 trow_k[:, b + 2:b + 3])
+                e1x, e1y, e1z = (trow_k[:, b + 3:b + 4],
+                                 trow_k[:, b + 4:b + 5],
+                                 trow_k[:, b + 5:b + 6])
+                e2x, e2y, e2z = (trow_k[:, b + 6:b + 7],
+                                 trow_k[:, b + 7:b + 8],
+                                 trow_k[:, b + 8:b + 9])
+                fx, fy, fz = (trow_k[:, b + 9:b + 10],
+                              trow_k[:, b + 10:b + 11],
+                              trow_k[:, b + 11:b + 12])
+                det = d_x * fx + d_y * fy + d_z * fz
+                inv_det = 1.0 / det
+                rx = o_x - v0x
+                ry = o_y - v0y
+                rz = o_z - v0z
+                t = -(rx * fx + ry * fy + rz * fz) * inv_det
+                px = ry * d_z - rz * d_y
+                py = rz * d_x - rx * d_z
+                pz = rx * d_y - ry * d_x
+                u = -(e2x * px + e2y * py + e2z * pz) * inv_det
+                vv = (e1x * px + e1y * py + e1z * pz) * inv_det
+                valid = ((jnp.abs(det) >= EPS) & (t > EPS)
+                         & (u >= 0.0) & (vv >= 0.0) & ((u + vv) <= 1.0)
+                         & act_k)
+                better = valid & (t < bt)              # strict <, glsl:275
+                bt = jnp.where(better, t, bt)
+                bsl = jnp.where(better, slot_base + j, bsl)
+                bu = jnp.where(better, u, bu)
+                bv = jnp.where(better, vv, bv)
 
         bt_scr[0:_SUB] = bt
         bsl_scr[0:_SUB] = bsl
@@ -289,7 +333,10 @@ def raycast_subblock(scene, origin, direction, active=None,
     """Nearest hit via the work-stealing sub-block kernel.
 
     Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
-    p2_remap; built by Scene.send).  R must be a multiple of 128.
+    p2_remap + optional extra parts; built by Scene.send).  R must be a
+    multiple of 128.  Multi-part scenes chain one kernel call per part,
+    feeding each part the running best t so its traversal prunes against
+    hits found in earlier parts.
     """
     R = origin.shape[0]
     if R % _LANE:
@@ -299,6 +346,44 @@ def raycast_subblock(scene, origin, direction, active=None,
     if interpret is None:
         interpret = not _on_tpu()
 
+    parts = [(scene.p2_node_rows, scene.p2_tri_rows, scene.p2_remap)]
+    parts += [tuple(p) for p in scene.p2_extra]
+
+    near = None
+    iters_all = None
+    for node_rows, tri_rows, remap in parts:
+        t_init = None if near is None else near.t
+        pn, iters = _raycast_one_part(
+            node_rows, tri_rows, remap, origin, direction, active,
+            t_init, interpret)
+        if near is None:
+            near = pn
+        else:
+            better = pn.t < near.t  # strict <: ties keep the earlier part
+            near = Nearest(
+                t=jnp.where(better, pn.t, near.t),
+                tri=jnp.where(better, pn.tri, near.tri),
+                u=jnp.where(better, pn.u, near.u),
+                v=jnp.where(better, pn.v, near.v),
+            )
+        iters_all = iters if iters_all is None else iters_all + iters
+    if active is not None:
+        near = near._replace(t=jnp.where(active, near.t, BIG))
+    if debug_iters:
+        return near, iters_all
+    return near
+
+
+def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
+                      active, t_init, interpret):
+    """One kernel launch over one part's tables; returns (Nearest, iters).
+
+    ``t_init`` seeds the per-ray best t (BIG when None) so later parts
+    prune against earlier parts' hits; the kernel only improves on strict
+    ``<``, so an unimproved ray reports t == t_init and is discarded by
+    the caller's strict combine.
+    """
+    R = origin.shape[0]
     P = R // _LANE
     pad_p = (-P) % POOL
     Pp = P + pad_p
@@ -315,13 +400,13 @@ def raycast_subblock(scene, origin, direction, active=None,
     dx, dy, dz = (prep(direction[:, i], 1.0) for i in range(3))
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    t0 = jnp.full((R,), BIG, jnp.float32)
+    t0 = jnp.full((R,), BIG, jnp.float32) if t_init is None else t_init
     if active is not None:
         t0 = jnp.where(active, t0, -BIG)
     t0 = prep(t0, -BIG)
 
-    Wr = scene.p2_node_rows.shape[0]
-    Qr = scene.p2_tri_rows.shape[0]
+    Wr = node_rows.shape[0]
+    Qr = tri_rows.shape[0]
     grid = Pp // POOL
 
     blk = pl.BlockSpec((POOL, _LANE), lambda i: (i, 0),
@@ -353,6 +438,7 @@ def raycast_subblock(scene, origin, direction, active=None,
             pltpu.VMEM((_SUB, STACK_L), jnp.int32),
             pltpu.VMEM((_SUB, _LANE), f32),           # node_scr
             pltpu.VMEM((_SUB, _LANE), f32),           # tri_scr
+            pltpu.VMEM((_SUB, _LANE), f32),           # tri_scr2
             pltpu.VMEM((_SUB, _LANE), jnp.int32),     # xfer
         ] + [pltpu.VMEM((_SCR, _LANE), f32)] * 11     # rays + t0 + flag
           + [pltpu.VMEM((_SCR, _LANE), f32),          # bt
@@ -362,7 +448,7 @@ def raycast_subblock(scene, origin, direction, active=None,
           + [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((_SCR,), jnp.int32)],
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
-      scene.p2_node_rows, scene.p2_tri_rows)
+      node_rows, tri_rows)
 
     def unpad(a):
         a = a.reshape(grid, OUTR, _LANE)[:, :POOL]
@@ -373,7 +459,7 @@ def raycast_subblock(scene, origin, direction, active=None,
     u = unpad(u)
     v = unpad(v)
     did_hit = (t < BIG) & (t > -BIG)
-    tri = scene.p2_remap[jnp.clip(slot, 0, scene.p2_remap.shape[0] - 1)]
+    tri = remap[jnp.clip(slot, 0, remap.shape[0] - 1)]
 
     near = Nearest(
         t=jnp.where(did_hit, t, BIG),
@@ -381,8 +467,4 @@ def raycast_subblock(scene, origin, direction, active=None,
         u=jnp.where(did_hit, u, 0.0),
         v=jnp.where(did_hit, v, 0.0),
     )
-    if active is not None:
-        near = near._replace(t=jnp.where(active, near.t, BIG))
-    if debug_iters:
-        return near, iters[::_SUB, 0]
-    return near
+    return near, iters[::_SUB, 0]

@@ -188,6 +188,65 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     )
 
 
+def build_subblock_parts(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                         tri16: np.ndarray, method: str = "sah",
+                         budget_bytes: int = 12 * 1024 * 1024,
+                         max_parts: int = 16) -> tuple[SubblockTables, ...]:
+    """Partitioned sub-block tables for scenes whose tables exceed the VMEM
+    budget (the round-1 'cliff' — VERDICT item 6).
+
+    Triangles are split spatially (recursive centroid-median halving along
+    the largest axis) into the fewest parts whose per-part tables fit
+    ``budget_bytes``; each part is an independent sub-block BVH over the
+    SAME global triangle index space (remap is rebased), so the traversal
+    can chain parts with cross-part ``best_t`` pruning and a strict-``<``
+    host combine.  Ray cost per part collapses to ~2 iterations when the
+    part's root AABB misses, so the total stays near the in-VMEM rate for
+    spatially separated parts.
+    """
+    T = v0.shape[0]
+    est_bytes = ((T // 8 + 1) + (T // 4 + 1)) * 512  # tri rows + node rows, rough
+    n_parts = 1
+    while (est_bytes / n_parts > budget_bytes * 0.8 and n_parts < max_parts):
+        n_parts *= 2
+
+    while True:
+        # spatial partition: recursive median split on centroids
+        centroids = (v0 + v1 + v2) / 3.0
+        parts_idx = [np.arange(T, dtype=np.int64)]
+        while len(parts_idx) < n_parts:
+            nxt = []
+            for idx in parts_idx:
+                if len(idx) < 16:
+                    nxt.append(idx)
+                    continue
+                c = centroids[idx]
+                axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+                order = np.argsort(c[:, axis], kind="stable")
+                half = len(idx) // 2
+                nxt.append(idx[order[:half]])
+                nxt.append(idx[order[half:]])
+            parts_idx = nxt
+
+        try:
+            tables = []
+            for idx in parts_idx:
+                if len(idx) == 0:
+                    continue
+                t = build_subblock(v0[idx], v1[idx], v2[idx], tri16[idx],
+                                   method=method)
+                nbytes = t.node_rows.nbytes + t.tri_rows.nbytes
+                if nbytes > budget_bytes:
+                    raise ValueError(f"part tables {nbytes} over budget")
+                tables.append(t._replace(
+                    remap=idx[t.remap].astype(np.int32)))
+            return tuple(tables)
+        except ValueError:
+            if n_parts >= max_parts:
+                raise
+            n_parts *= 2
+
+
 def validate_subblock(tables: SubblockTables, n_tris: int) -> None:
     """Invariants: every triangle appears exactly once across leaf octets;
     every octet is reachable exactly once from the root via packed orders."""

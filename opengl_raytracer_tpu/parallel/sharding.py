@@ -4,9 +4,11 @@ The reference is a single-process, single-GPU program (SURVEY.md section 2);
 its only parallelism is the implicit SIMT fan-out of fragments.  The TPU
 framework scales the same workload across chips with two mesh axes:
 
-* ``dp`` (data/pixel parallel): the pixel grid and the accumulation buffer
-  are sharded by image rows.  Scene arrays are small (a few MB) and
-  replicated, so per-device rendering needs no communication at all.
+* ``dp`` (data/pixel parallel): the rays of the current tile band are
+  sharded by band rows, and the accumulation buffer by image rows.  Scene
+  arrays are small (a few MB) and replicated, so per-device rendering needs
+  no communication; only the band -> accumulation merge reshards (an ICI
+  all-to-all sized one tile band, inserted by GSPMD).
 * ``sp`` (sample/frame parallel): each device along ``sp`` renders a
   *different progressive frame number* (frame_count + sp_index) and the
   results are averaged with a ``psum`` over ICI.  Because the reference's
@@ -15,9 +17,11 @@ framework scales the same workload across chips with two mesh axes:
   sample streams — S chips converge the accumulation S frames per step with
   bit-identical samples to S sequential steps.
 
-The step below is the framework's "training step" analog: it advances the
-progressive accumulation state ``(accum, frame_count) -> accum'`` under
-``shard_map`` and jits end-to-end, with all collectives riding ICI.
+Tile scheduling (reference main.py:409-418) composes with both axes: one
+step renders one tile band across the whole mesh, so ``ShardedRenderer``
+has the same ``init_state()/step()/render()/image()`` surface as the
+single-chip ``Renderer`` and shares its ``RenderState`` (and therefore
+``utils.checkpoint`` — see ``restore_state``).
 """
 
 from __future__ import annotations
@@ -29,7 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from opengl_raytracer_tpu.renderer import make_raycast_fn, render_pixels
+from opengl_raytracer_tpu.renderer import (
+    RenderState,
+    make_raycast_fn,
+    render_flat,
+    resolve_leaf_bound,
+)
 from opengl_raytracer_tpu.utils.config import RenderConfig
 
 
@@ -58,62 +67,76 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
     return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
 
 
-def sharded_accum_step(scene, camera, accum, frame_count, sky_brightness,
-                       jitter_amount, lambertian, *, config: RenderConfig,
-                       traversal: str, mesh: Mesh):
-    """One multi-chip progressive step: folds ``sp`` new frames into the
-    row-sharded accumulation buffer.  accum: (H, W, 3) sharded on rows."""
+def sharded_tile_step(scene, camera, accum, frame_count, tile_x, tile_y,
+                      sky_brightness, jitter_amount, lambertian, *,
+                      config: RenderConfig, traversal: str, mesh: Mesh):
+    """One multi-chip progressive step: renders one tile band (rows sharded
+    over ``dp``, ``sp`` frame numbers summed with a psum) and folds it into
+    the row-sharded accumulation buffer.
+
+    The tile/band window math (clamp + remainder mask) is identical to the
+    single-chip ``_tile_step`` — the reference's per-pixel modulo gating
+    (fragment.glsl:382-386) — so images match the sequential renderer
+    exactly.
+    """
     H, W = config.height, config.width
+    tw, th = config.tile_w, config.tile_h
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
-    if H % dp:
-        raise ValueError(f"dp={dp} must divide height {H}")
 
-    local_h = H // dp
-    if traversal == "packet" and (local_h * W) % 128:
-        traversal = "bvh"  # packet path needs whole 128-ray packets
     raycast_fn = make_raycast_fn(scene, config, traversal)
 
-    def local_step(scene, camera, accum_blk, frame_count, sky, jit_amt, lam):
-        dp_idx = jax.lax.axis_index("dp")
+    col0 = jnp.minimum(tile_x * tw, W - tw)
+    py0 = jnp.minimum(tile_y * th, H - th)
+    dx0 = tile_x * tw - col0
+    dy0 = tile_y * th - py0
+    px = col0 + jnp.broadcast_to(
+        jnp.arange(tw, dtype=jnp.int32)[None, :], (th, tw))
+    py = py0 + jnp.broadcast_to(
+        jnp.arange(th, dtype=jnp.int32)[:, None], (th, tw))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+
+    def local_band(scene, camera, px, py, frame_count, sky, jit_amt, lam):
         sp_idx = jax.lax.axis_index("sp")
         frame = frame_count + sp_idx
-
-        # This device's rows (top-origin) -> GL pixel coords.
-        row0 = dp_idx * local_h
-        rows = row0 + jnp.arange(local_h, dtype=jnp.int32)
-        py_rows = (H - 1) - rows  # GL py, descending
-        px = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (local_h, W))
-        py = jnp.broadcast_to(py_rows[:, None], (local_h, W))
-
-        colors = render_pixels(
-            scene, config, camera, frame, sky, jit_amt, lam,
-            px.reshape(-1), py.reshape(-1), raycast_fn,
-            reorder=traversal in ("packet", "pallas", "pallas2"),
-        ).reshape(local_h, W, 3)
-
-        summed = jax.lax.psum(colors, "sp")
-        fc = frame_count.astype(jnp.float32)
-        return (accum_blk * fc + summed) / (fc + sp)
+        colors = render_flat(scene, config, camera, frame, sky, jit_amt,
+                             lam, px, py, raycast_fn, traversal)
+        return jax.lax.psum(colors, "sp")
 
     # check_vma=False: the traversal while_loop initializes its carries from
     # constants, which JAX's varying-axis tracking would otherwise reject.
-    fn = jax.shard_map(
-        local_step,
+    band = jax.shard_map(
+        local_band,
         mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P(), P(), P(), P()),
+        in_specs=(P(), P(), P("dp"), P("dp"), P(), P(), P(), P()),
         out_specs=P("dp"),
         check_vma=False,
-    )
-    return fn(scene, camera, accum, frame_count, sky_brightness,
-              jitter_amount, lambertian)
+    )(scene, camera, px, py, frame_count,
+      sky_brightness, jitter_amount, lambertian)
+
+    # GL py ascends bottom-up; accum rows descend top-down.
+    tile_img = band.reshape(th, tw, 3)[::-1]
+    row0 = H - py0 - th
+    valid = ((jnp.arange(tw, dtype=jnp.int32)[None, :] >= dx0)
+             & (jnp.arange(th, dtype=jnp.int32)[:, None] >= dy0))
+    mask_img = valid[::-1][:, :, None]
+
+    prev = jax.lax.dynamic_slice(accum, (row0, col0, 0), (th, tw, 3))
+    fc = frame_count.astype(jnp.float32)
+    merged = jnp.where(mask_img, (prev * fc + tile_img) / (fc + sp), prev)
+    return jax.lax.dynamic_update_slice(accum, merged, (row0, col0, 0))
 
 
 class ShardedRenderer:
-    """Progressive renderer over a device mesh.
+    """Progressive renderer over a device mesh, with the single-chip
+    ``Renderer``'s state/step/render surface.
 
-    Each ``step`` advances the accumulation by ``sp`` frames; ``frames_per_step``
-    reflects that in the host-side frame counter.
+    Each ``step`` renders one tile band and advances the accumulation by
+    ``sp`` frames (``frames_per_step``); a full tile sweep therefore
+    converges ``sp`` frames.  ``RenderState`` round-trips through
+    ``utils.checkpoint`` — use :meth:`restore_state` after loading to
+    re-shard the accumulation buffer onto the mesh.
     """
 
     def __init__(self, scene, config: RenderConfig, mesh: Mesh):
@@ -121,17 +144,24 @@ class ShardedRenderer:
         from opengl_raytracer_tpu.renderer import _BRUTE_MAX_TRIS
 
         scene_data = scene.send() if isinstance(scene, Scene) else scene
-        from opengl_raytracer_tpu.renderer import resolve_leaf_bound
-
         config = resolve_leaf_bound(scene_data, config)
         self.config = config
         self.mesh = mesh
-        if config.tile_size != 1:
-            raise ValueError("multi-chip rendering uses tile_size=1 "
-                             "(rows are sharded instead of tiled)")
+        dp = mesh.shape["dp"]
+        if config.height % dp:
+            raise ValueError(f"dp={dp} must divide height {config.height}")
+        if config.tile_h % dp:
+            raise ValueError(
+                f"dp={dp} must divide the tile band height {config.tile_h} "
+                f"(tile_size={config.tile_size})"
+            )
         traversal = config.traversal
         if traversal == "auto":
-            traversal = "brute" if scene_data.num_tris <= _BRUTE_MAX_TRIS else "packet"
+            traversal = ("brute" if scene_data.num_tris <= _BRUTE_MAX_TRIS
+                         else "packet")
+        local_rays = (config.tile_h // dp) * config.tile_w
+        if traversal in ("packet", "pallas", "pallas2") and local_rays % 128:
+            traversal = "bvh"  # packet-shaped paths need whole 128-ray packets
         self.traversal = traversal
         self.frames_per_step = mesh.shape["sp"]
 
@@ -139,25 +169,85 @@ class ShardedRenderer:
         self.scene = jax.device_put(scene_data, repl)
         self._accum_sharding = NamedSharding(mesh, P("dp"))
         self._step = jax.jit(
-            partial(sharded_accum_step, config=config, traversal=traversal,
+            partial(sharded_tile_step, config=config, traversal=traversal,
                     mesh=mesh),
             donate_argnums=(2,),
         )
 
-    def init_accum(self):
-        return jax.device_put(
+    def init_state(self) -> RenderState:
+        accum = jax.device_put(
             jnp.zeros((self.config.height, self.config.width, 3), jnp.float32),
             self._accum_sharding,
         )
+        return RenderState(accum=accum)
 
-    def step(self, camera, accum, frame_count: int,
-             lambertian: bool | None = None):
-        lam = self.config.lambertian if lambertian is None else lambertian
-        accum = self._step(
-            self.scene, camera, accum,
-            jnp.int32(frame_count),
-            jnp.float32(self.config.sky_brightness),
-            jnp.float32(self.config.jitter_amount),
-            jnp.asarray(lam, bool),
+    def restore_state(self, state: RenderState) -> RenderState:
+        """Re-shard a (host/checkpoint-loaded) state's accumulation onto the
+        mesh so stepping resumes with ICI-resident buffers."""
+        return RenderState(
+            accum=jax.device_put(state.accum, self._accum_sharding),
+            frame_count=state.frame_count,
+            tile_x=state.tile_x,
+            tile_y=state.tile_y,
+            total_frames=state.total_frames,
         )
-        return accum, frame_count + self.frames_per_step
+
+    def reset(self, state: RenderState) -> RenderState:
+        return RenderState(accum=jnp.zeros_like(state.accum))
+
+    def step(self, state: RenderState, camera,
+             sky_brightness: float | None = None,
+             jitter_amount: float | None = None,
+             lambertian: bool | None = None) -> RenderState:
+        cfg = self.config
+        sky = cfg.sky_brightness if sky_brightness is None else sky_brightness
+        jit_amt = cfg.jitter_amount if jitter_amount is None else jitter_amount
+        lam = cfg.lambertian if lambertian is None else lambertian
+
+        accum = self._step(
+            self.scene, camera, state.accum,
+            jnp.int32(state.frame_count),
+            jnp.int32(state.tile_x), jnp.int32(state.tile_y),
+            jnp.float32(sky), jnp.float32(jit_amt), jnp.asarray(lam, bool),
+        )
+        tile_x, tile_y, frames = state.tile_x + 1, state.tile_y, state.frame_count
+        if tile_x >= cfg.num_tiles_x:
+            tile_x = 0
+            tile_y += 1
+            if tile_y >= cfg.num_tiles_y:
+                tile_y = 0
+                frames += self.frames_per_step
+        return RenderState(
+            accum=accum,
+            frame_count=frames,
+            tile_x=tile_x,
+            tile_y=tile_y,
+            total_frames=state.total_frames + 1,
+        )
+
+    def render(self, camera=None, frames: int = 1,
+               state: RenderState | None = None) -> RenderState:
+        """Run enough sweeps to converge ``frames`` progressive frames."""
+        if camera is None:
+            from opengl_raytracer_tpu.presets import (
+                DEFAULT_CAM_DIR,
+                DEFAULT_CAM_POS,
+            )
+            from opengl_raytracer_tpu.ops.camera import make_camera
+
+            camera = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
+        if state is None:
+            state = self.init_state()
+        if frames % self.frames_per_step:
+            raise ValueError(
+                f"frames={frames} must be a multiple of sp="
+                f"{self.frames_per_step} (each sweep converges sp frames)"
+            )
+        tiles = self.config.num_tiles_x * self.config.num_tiles_y
+        for _ in range((frames // self.frames_per_step) * tiles):
+            state = self.step(state, camera)
+        return state
+
+    @staticmethod
+    def image(state: RenderState) -> np.ndarray:
+        return np.asarray(state.accum)

@@ -146,13 +146,50 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
     return color
 
 
+def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
+                frame_count, sky_brightness, jitter_amount, lambertian,
+                px, py, raycast_fn, traversal: str):
+    """Chunked render of a flat pixel list -> (R, 3) colors.
+
+    The Pallas paths keep all per-ray state in-kernel, so whole-frame
+    chunks amortize fixed costs and let the coherence sort work globally;
+    the XLA paths carry state in HBM and need bounded chunks.
+    """
+    R = px.shape[0]
+    default_chunk = (4 * 1024 * 1024 if traversal in ("pallas", "pallas2")
+                     else 128 * 1024)
+    chunk = config.ray_chunk or min(R, default_chunk)
+    chunk = min(chunk, R)
+    if traversal in ("packet", "pallas", "pallas2"):
+        chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
+
+    body = partial(
+        render_pixels, scene, config, camera, frame_count,
+        sky_brightness, jitter_amount, lambertian, raycast_fn=raycast_fn,
+        reorder=traversal in ("packet", "pallas", "pallas2"),
+    )
+
+    if n_chunks == 1:
+        colors = body(px, py)
+    else:
+        colors = jax.lax.map(
+            lambda xs: body(xs[0], xs[1]),
+            (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk)),
+        ).reshape(-1, 3)
+    return colors[:R]
+
+
 def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
                tile_x, tile_y, sky_brightness, jitter_amount, lambertian,
                *, config: RenderConfig, traversal: str):
     """Render one tile and fold it into the accumulation buffer."""
     H, W = config.height, config.width
     tw, th = config.tile_w, config.tile_h
-    R = tw * th
 
     raycast_fn = make_raycast_fn(scene, config, traversal)
 
@@ -186,35 +223,9 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     else:
         px, py = px.reshape(-1), py.reshape(-1)
 
-    # The Pallas path keeps all per-ray state in-kernel, so whole-frame
-    # chunks amortize fixed costs and let the coherence sort work globally;
-    # the XLA paths carry state in HBM and need bounded chunks.
-    default_chunk = (4 * 1024 * 1024 if traversal in ("pallas", "pallas2")
-                     else 128 * 1024)
-    chunk = config.ray_chunk or min(R, default_chunk)
-    chunk = min(chunk, R)
-    if traversal in ("packet", "pallas", "pallas2"):
-        chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
-    n_chunks = -(-R // chunk)
-    pad = n_chunks * chunk - R
-    if pad:
-        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
-        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
-
-    body = partial(
-        render_pixels, scene, config, camera, frame_count,
-        sky_brightness, jitter_amount, lambertian, raycast_fn=raycast_fn,
-        reorder=traversal in ("packet", "pallas", "pallas2"),
-    )
-
-    if n_chunks == 1:
-        colors = body(px, py)
-    else:
-        colors = jax.lax.map(
-            lambda xs: body(xs[0], xs[1]),
-            (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk)),
-        ).reshape(-1, 3)
-    colors = colors[:R]
+    colors = render_flat(scene, config, camera, frame_count, sky_brightness,
+                         jitter_amount, lambertian, px, py, raycast_fn,
+                         traversal)
     if use_blocks:
         colors = (
             colors.reshape(th // _BLOCK_H, tw // _BLOCK_W, _BLOCK_H, _BLOCK_W, 3)
@@ -278,24 +289,20 @@ class Renderer:
                 # path; its tables are empty when the scene exceeded its
                 # caps (ops/wide2.py), in which case the round-1 kernel
                 # or the packet path take over.
-                p2_bytes = (
-                    scene_data.p2_node_rows.nbytes
-                    + scene_data.p2_tri_rows.nbytes
-                )
                 scene_bytes = (
                     scene_data.pl_tri_tiles.nbytes + scene_data.pw_tiles.nbytes
                 )
-                if scene_bytes <= 13 * 1024 * 1024:
-                    # the 1024-ray octant-ordered kernel still beats the
-                    # sub-block kernel end-to-end (1772 vs 1824 ms at
-                    # 1080p/4-bounce); revisit when pallas2's per-iteration
-                    # cost drops below ~1.2 us
-                    traversal = "pallas"
-                elif (scene_data.p2_node_rows.shape[0] > 0
-                        and p2_bytes <= 12 * 1024 * 1024):
-                    # scenes too big for the round-1 kernel's VMEM budget
-                    # can still run the (leaner-table) sub-block kernel
+                if scene_data.p2_node_rows.shape[0] > 0:
+                    # the work-stealing sub-block kernel wins since the
+                    # round-2 dual-octet pops + tree-combined pushes
+                    # (1.2-1.33x over the 1024-ray kernel on 2M-ray
+                    # raycasts, experiments/subblock_hw.py).  Build-time
+                    # partitioning (ops/wide2.build_subblock_parts) keeps
+                    # each part's tables under the VMEM budget, so there
+                    # is no large-scene cliff on this path.
                     traversal = "pallas2"
+                elif scene_bytes <= 13 * 1024 * 1024:
+                    traversal = "pallas"
                 else:
                     import warnings
 

@@ -40,10 +40,11 @@ class RenderConfig:
     max_leaf_tris: BVH leaf size passed to the builder.  The traversal
         leaf-loop bound is always derived from the scene's actual BVH
         (renderer.resolve_leaf_bound), not from this value.
-    traversal: "auto" | "brute" | "bvh" | "packet" | "pallas".  "auto"
-        picks brute force for tiny scenes, the Pallas wide-BVH kernel on
-        TPU when the scene tables fit VMEM, and the XLA packet traversal
-        otherwise.
+    traversal: "auto" | "brute" | "bvh" | "packet" | "pallas" | "pallas2".
+        "auto" picks brute force for tiny scenes, a Pallas wide-BVH kernel
+        on TPU when the scene tables fit VMEM ("pallas" = 1024-ray blocks,
+        "pallas2" = work-stealing 128-ray sub-blocks), and the XLA packet
+        traversal otherwise.
     ray_chunk: rays processed per inner chunk (bounds peak memory; rounded
         to the pixel-row granularity internally). 0 = whole frame at once.
 

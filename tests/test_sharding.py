@@ -37,18 +37,74 @@ def test_sharded_matches_sequential(dp, sp):
 
     mesh = make_mesh(dp * sp, dp=dp, sp=sp)
     sr = ShardedRenderer(scene, cfg, mesh)
-    accum = sr.init_accum()
-    frames = 0
-    for _ in range(2):  # 2 steps = 2*sp frames
-        accum, frames = sr.step(CAM, accum, frames)
-    sharded_img = np.asarray(accum)
+    state = sr.render(camera=CAM, frames=2 * sp)
+    sharded_img = sr.image(state)
 
     r = Renderer(scene, cfg)
-    state = r.render(camera=CAM, frames=frames)
-    seq_img = r.image(state)
+    seq = r.render(camera=CAM, frames=2 * sp)
+    seq_img = r.image(seq)
 
-    assert frames == 2 * sp
+    assert state.frame_count == 2 * sp
     assert rmse(sharded_img, seq_img) < 1e-6
+
+
+@pytest.mark.parametrize("tile_size", [2, 3])
+def test_sharded_tiles_match_sequential(tile_size):
+    """Tile scheduling under dp sharding (VERDICT item 8): band rows are
+    sharded across devices, and remainder tiles (tile_size=3 on 16px) use
+    the same clamp+mask as the single-chip path."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    cfg = RenderConfig(width=16, height=16, bounces=2, tile_size=tile_size,
+                       traversal="bvh")
+    if cfg.tile_h % 2:
+        pytest.skip("band height not divisible by dp")
+    scene = small_scene()
+
+    mesh = make_mesh(4, dp=2, sp=2)
+    sr = ShardedRenderer(scene, cfg, mesh)
+    state = sr.render(camera=CAM, frames=2)
+    sharded_img = sr.image(state)
+
+    r = Renderer(scene, RenderConfig(width=16, height=16, bounces=2,
+                                     traversal="bvh"))
+    seq = r.render(camera=CAM, frames=2)
+    seq_img = r.image(seq)
+
+    assert rmse(sharded_img, seq_img) < 1e-6
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Checkpoint/restore round-trip across the mesh (VERDICT item 8): a
+    sharded render interrupted at the half-way point and resumed from disk
+    is bit-identical to an uninterrupted one."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from opengl_raytracer_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = RenderConfig(width=16, height=16, bounces=2, tile_size=2,
+                       traversal="bvh")
+    scene = small_scene()
+    mesh = make_mesh(4, dp=2, sp=2)
+    sr = ShardedRenderer(scene, cfg, mesh)
+
+    full = sr.render(camera=CAM, frames=4)
+
+    half = sr.render(camera=CAM, frames=2)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, half, cam_pos=[0.0, 0.0, 4.0], cam_dir=[180.0, 0.0])
+
+    loaded, cam_pos, cam_dir = load_checkpoint(path)
+    resumed = sr.restore_state(loaded)
+    assert resumed.frame_count == 2
+    cam = make_camera(cam_pos, cam_dir)
+    resumed = sr.render(camera=cam, frames=2, state=resumed)
+
+    a, b = sr.image(full), sr.image(resumed)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_mesh_factory_validation():
