@@ -1,108 +1,97 @@
-"""Where does the 1080p/4-bounce frame actually go? (round-2 re-measure)
+"""Where does the 1080p/4-bounce frame go? (round-2, post dual-octet)
 
-Times, for pallas (round-1 1024-block kernel) and pallas2 (work-stealing
-sub-block kernel):
-  * a full renderer frame (2.07M pixels, 5 raycast segments)
-  * each raycast segment in isolation on the REAL bounce-ray distribution
-    (extracted by running the integrator bounce-by-bounce on the default
-    minidragon scene), sorted the same way the integrator sorts
-  * the non-traversal remainder (sort + shade + accumulation)
+Measures, on the REAL bounce-ray distribution (integrator advanced
+segment by segment on the default minidragon scene):
+  * per-segment pallas2 raycast time, its while-loop iteration counts
+    (debug_iters), and the implied per-iteration cost
+  * the non-traversal pieces at 2M rays: sort keys + multi-operand sort,
+    finalize_hit, scatter, progressive-merge
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp, numpy as np
 from opengl_raytracer_tpu.models.scene import Scene
 from opengl_raytracer_tpu.ops.camera import make_camera
-from opengl_raytracer_tpu.renderer import Renderer
-from opengl_raytracer_tpu.utils.config import RenderConfig
+from opengl_raytracer_tpu.ops.integrator import scatter
+from opengl_raytracer_tpu.ops.intersect import finalize_hit
+from opengl_raytracer_tpu.ops.morton import ray_sort_keys
+from opengl_raytracer_tpu.ops import rng
+from opengl_raytracer_tpu.ops.subblock_traversal import raycast_subblock
 from opengl_raytracer_tpu.presets import default_objects, DEFAULT_CAM_POS, DEFAULT_CAM_DIR
+from trav_exp import primary_rays
 
 W, H, BOUNCES = 1920, 1080, 4
 
 
-def time_frame(traversal, scene):
-    cfg = RenderConfig(width=W, height=H, bounces=BOUNCES,
-                       traversal=traversal)
-    r = Renderer(scene, cfg)
-    cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
-    st = r.init_state()
-    t0 = time.time()
-    st = r.step(st, cam)
-    jax.block_until_ready(st.accum)
-    compile_s = time.time() - t0
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x).ravel()[:4].astype(jnp.float32)))
+
+
+def timeit(label, f, *args, reps=3):
+    r = f(*args)
+    sync(jax.tree_util.tree_leaves(r)[0])
     best = 1e9
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
-        st = r.step(st, cam)
-        jax.block_until_ready(st.accum)
+        r = f(*args)
+        sync(jax.tree_util.tree_leaves(r)[0])
         best = min(best, time.time() - t0)
-    print(f"{traversal}: frame {best*1000:.0f} ms  (first step {compile_s:.1f} s)",
-          flush=True)
-    return best
+    print(f"{label}: {best*1000:.1f} ms", flush=True)
+    return r, best
 
 
 def main():
     sc = Scene(default_objects('stanford_minidragon'))
     data = sc.send()
-    print(f"tris={data.num_tris}", flush=True)
-    for trav in ("pallas", "pallas2"):
-        time_frame(trav, data)
-
-    # segment-level: run the real integrator but time each raycast segment
-    from opengl_raytracer_tpu.ops.integrator import scatter
-    from opengl_raytracer_tpu.ops.intersect import finalize_hit
-    from opengl_raytracer_tpu.ops.morton import ray_sort_keys
-    from opengl_raytracer_tpu.ops import rng
-    from opengl_raytracer_tpu.ops.pallas_traversal import raycast_pallas
-    from opengl_raytracer_tpu.ops.subblock_traversal import raycast_subblock
-    from trav_exp import primary_rays
-
     cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
     o, d = primary_rays(W, H, cam)
-    R = o.shape[0]
+    R = o.shape[0] // 128 * 128
+    o, d = o[:R], d[:R]
     lo, hi = data.node_min[0], data.node_max[0]
     px = jnp.arange(R, dtype=jnp.int32) % W
     py = jnp.arange(R, dtype=jnp.int32) // W
     seed = rng.warmup(rng.seed_pixels(px, py, 0), 3)
     alive = jnp.ones((R,), bool)
-    leaf = int(np.asarray(data.node_count).max())
 
-    def seg(which, o, d, alive):
+    f_rc = jax.jit(lambda o_, d_, a_: raycast_subblock(
+        data, o_, d_, a_, debug_iters=True))
+
+    def sort3(o, d, alive):
         key = ray_sort_keys(o, d, lo, hi, alive)
-        perm = jnp.argsort(key)
-        o_s, d_s, a_s = o[perm], d[perm], alive[perm]
-        o_s, d_s, a_s = jax.block_until_ready((o_s, d_s, a_s))
-        f1 = jax.jit(lambda o_, d_, a_: raycast_pallas(
-            data, o_, d_, a_, max_leaf_tris=leaf))
-        f2 = jax.jit(lambda o_, d_, a_: raycast_subblock(data, o_, d_, a_))
-        out = {}
-        for name, f in (("pallas", f1), ("pallas2", f2)):
-            near = jax.block_until_ready(f(o_s, d_s, a_s))
-            best = 1e9
-            for _ in range(3):
-                t0 = time.time()
-                near = jax.block_until_ready(f(o_s, d_s, a_s))
-                best = min(best, time.time() - t0)
-            out[name] = best
-        n_alive = int(jnp.sum(alive))
-        print(f"segment {which}: alive={n_alive/1e6:.2f}M  "
-              f"pallas={out['pallas']*1000:.0f} ms  "
-              f"pallas2={out['pallas2']*1000:.0f} ms", flush=True)
-        # advance state with the pallas result (unsorted order)
-        near_u = raycast_pallas(data, o, d, alive, max_leaf_tris=leaf)
-        hit = finalize_hit(data, o, d, near_u)
-        nonlocal_seed = seg.seed
-        s2, ndir = scatter(nonlocal_seed, hit.normal, d, hit.roughness, True)
-        was_hit = alive & hit.did_hit
-        o2 = jnp.where(was_hit[:, None], hit.point + hit.normal * 1e-4, o)
-        d2 = jnp.where(was_hit[:, None], ndir, d)
-        seg.seed = jnp.where(was_hit, s2, nonlocal_seed)
-        alive2 = was_hit & ~(hit.emission > 0.0)
-        return jax.block_until_ready((o2, d2, alive2))
+        s = jax.lax.sort((key, o[:, 0], o[:, 1], o[:, 2],
+                          d[:, 0], d[:, 1], d[:, 2],
+                          alive), num_keys=1)
+        return (jnp.stack(s[1:4], -1), jnp.stack(s[4:7], -1), s[7])
 
-    seg.seed = seed
+    f_sort = jax.jit(sort3)
+
     for b in range(BOUNCES + 1):
-        o, d, alive = seg(b, o, d, alive)
+        n_alive = int(jnp.sum(alive))
+        (o_s, d_s, a_s), t_sort = timeit(f"seg{b} sort", f_sort, o, d, alive)
+        (near, iters), t_rc = timeit(f"seg{b} raycast", f_rc, o_s, d_s, a_s)
+        it = np.asarray(iters).reshape(-1, 8, 128)[:, 0, 0]
+        total_iters = int(it.sum())
+        ns_per_iter = t_rc * 1e9 / max(total_iters, 1)
+        n_steps = it.shape[0]
+        print(f"  seg{b}: alive={n_alive/1e6:.2f}M, grid_steps={n_steps}, "
+              f"mean sub-iters/step={total_iters/n_steps:.0f}, "
+              f"per-sub-iter={ns_per_iter:.0f} ns", flush=True)
+
+        # advance (unsorted for simplicity)
+        near_u = raycast_subblock(data, o, d, alive)
+        hit, t_fh = timeit(f"seg{b} finalize_hit",
+                           jax.jit(lambda nr: finalize_hit(data, o, d, nr)),
+                           near_u)
+        (s2, ndir), t_sc = timeit(
+            f"seg{b} scatter",
+            jax.jit(lambda sd, h: scatter(sd, h.normal, d, h.roughness, True)),
+            seed, hit)
+        was_hit = alive & hit.did_hit
+        o = jnp.where(was_hit[:, None], hit.point + hit.normal * 1e-4, o)
+        d = jnp.where(was_hit[:, None], ndir, d)
+        seed = jnp.where(was_hit, s2, seed)
+        alive = was_hit & ~(hit.emission > 0.0)
+        o, d, alive = jax.block_until_ready((o, d, alive))
 
 
 if __name__ == "__main__":

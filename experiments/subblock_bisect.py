@@ -82,6 +82,32 @@ def make_kernel(variant):
                 xfer[:] = jnp.zeros((_SUB, _LANE), jnp.int32) + it
                 v = xfer[0, 0]
                 bt = bt + jnp.float32(v) * 1e-30
+            elif variant == "scal16":
+                # 16 scalar reads from a freshly written VMEM tile: the
+                # real kernel's per-row index extraction, isolated
+                xfer[:] = jnp.zeros((_SUB, _LANE), jnp.int32) + it
+                acc = jnp.int32(0)
+                for r in range(_SUB):
+                    acc = acc + xfer[r, 0] + xfer[r, 64]
+                bt = bt + jnp.float32(acc) * 1e-30
+            elif variant == "xfer16":
+                # the real kernel's full address path: vector->VMEM store,
+                # 16 scalar reads, 16 loads at those data-dependent rows
+                xfer[:] = (jnp.zeros((_SUB, _LANE), jnp.int32) + it * 7
+                           + lane_n)
+                for r in range(_SUB):
+                    node_scr[r] = pw_rows[xfer[r, 0] % NODES]
+                    tri_scr[r] = tri_rows[xfer[r, 64] % OCTETS]
+                bt = bt + (node_scr[:] + tri_scr[:]) * 1e-30
+            elif variant == "xfer32":
+                xfer[:] = (jnp.zeros((_SUB, _LANE), jnp.int32) + it * 7
+                           + lane_n)
+                for r in range(_SUB):
+                    node_scr[r] = pw_rows[xfer[r, 0] % NODES]
+                    tri_scr[r] = tri_rows[xfer[r, 64] % OCTETS]
+                    node_scr[r] = pw_rows[xfer[r, 1] % NODES]
+                    tri_scr[r] = tri_rows[xfer[r, 65] % OCTETS]
+                bt = bt + (node_scr[:] + tri_scr[:]) * 1e-30
             elif variant == "loads8":
                 for r in range(_SUB):
                     node_scr[r] = pw_rows[(it * 7 + r * 331) % NODES]

@@ -76,13 +76,14 @@ class SceneData(NamedTuple):
     # remap) of an independent spatial partition; traversal chains them
     # with cross-part best-t pruning.  () when one part suffices.
     p2_extra: tuple
-    # Shading data packed into 8-wide rows: TPU XLA gathers cost ~the same
-    # per ROW as per element, so finalize_hit's per-triangle material and
-    # normal fetch is 3 row-gathers instead of 8 column gathers (measured
-    # ~100 ms -> ~30 ms per 2M-ray bounce segment).
-    sh_a: jnp.ndarray  # (T, 8) [n0.xyz, n1.xyz, emission, roughness]
-    sh_b: jnp.ndarray  # (T, 8) [n2.xyz, face.xyz, 0, 0]
-    sh_c: jnp.ndarray  # (T, 8) [color.xyz, emission_color.xyz, 0, 0]
+    # Shading data packed into ONE 24-wide row: TPU XLA gathers cost ~the
+    # same per ROW as per element, so finalize_hit's per-triangle material
+    # and normal fetch is a single row-gather (measured ~100 ms for eight
+    # column gathers -> ~30 ms for three 8-wide rows -> ~13 ms for one
+    # 24-wide row, per 2M-ray bounce segment).
+    sh_abc: jnp.ndarray  # (T, 24) [n0.xyz, n1.xyz, emission, roughness,
+    #                               n2.xyz, face.xyz, 0, 0,
+    #                               color.xyz, emission_color.xyz, 0, 0]
 
     @property
     def num_tris(self) -> int:
@@ -319,17 +320,15 @@ class Scene:
         emp = permute_pad(self.emission)
         rgp = permute_pad(self.roughness)
         Tp = v0.shape[0]
-        sh_a = np.zeros((Tp, 8), np.float32)
-        sh_a[:, 0:3] = n0p
-        sh_a[:, 3:6] = n1p
-        sh_a[:, 6] = emp
-        sh_a[:, 7] = rgp
-        sh_b = np.zeros((Tp, 8), np.float32)
-        sh_b[:, 0:3] = n2p
-        sh_b[:, 3:6] = face
-        sh_c = np.zeros((Tp, 8), np.float32)
-        sh_c[:, 0:3] = colp
-        sh_c[:, 3:6] = emcp
+        sh_abc = np.zeros((Tp, 24), np.float32)
+        sh_abc[:, 0:3] = n0p
+        sh_abc[:, 3:6] = n1p
+        sh_abc[:, 6] = emp
+        sh_abc[:, 7] = rgp
+        sh_abc[:, 8:11] = n2p
+        sh_abc[:, 11:14] = face
+        sh_abc[:, 16:19] = colp
+        sh_abc[:, 19:22] = emcp
 
         self._device = SceneData(
             v0=jnp.asarray(v0),
@@ -356,9 +355,7 @@ class Scene:
             p2_tri_rows=jnp.asarray(p2_tri_rows),
             p2_remap=jnp.asarray(p2_remap),
             p2_extra=p2_extra,
-            sh_a=jnp.asarray(sh_a),
-            sh_b=jnp.asarray(sh_b),
-            sh_c=jnp.asarray(sh_c),
+            sh_abc=jnp.asarray(sh_abc),
         )
         return self._device
 

@@ -206,17 +206,15 @@ def finalize_hit(scene, origin, direction, nearest: Nearest) -> Hit:
 
     point = origin + direction * nearest.t[:, None]
 
-    # Three 8-wide ROW gathers instead of eight column gathers: XLA TPU
-    # gathers cost roughly the same per row as per element (~15 ms per 2M
-    # indices), so packing the shading data 8-wide (Scene.send) cuts the
-    # per-bounce material fetch ~3x.
-    a = scene.sh_a[tri]  # [n0.xyz, n1.xyz, emission, roughness]
-    b = scene.sh_b[tri]  # [n2.xyz, face.xyz, 0, 0]
-    c = scene.sh_c[tri]  # [color.xyz, emission_color.xyz, 0, 0]
-    n0 = a[:, 0:3]
-    n1 = a[:, 3:6]
-    n2 = b[:, 0:3]
-    face = b[:, 3:6]
+    # ONE 24-wide ROW gather instead of eight column gathers: XLA TPU
+    # gathers cost roughly the same per row as per element (~7 ms per 2M
+    # indices), so packing ALL the shading data into one row (Scene.send)
+    # cuts the per-bounce material fetch ~6x vs per-column fetches.
+    abc = scene.sh_abc[tri]
+    n0 = abc[:, 0:3]
+    n1 = abc[:, 3:6]
+    n2 = abc[:, 8:11]
+    face = abc[:, 11:14]
 
     u, v = nearest.u, nearest.v
     w = 1.0 - u - v
@@ -238,8 +236,8 @@ def finalize_hit(scene, origin, direction, nearest: Nearest) -> Hit:
         t=nearest.t,
         point=point,
         normal=normal,
-        color=c[:, 0:3],
-        emission=a[:, 6],
-        emission_color=c[:, 3:6],
-        roughness=a[:, 7],
+        color=abc[:, 16:19],
+        emission=abc[:, 6],
+        emission_color=abc[:, 19:22],
+        roughness=abc[:, 7],
     )

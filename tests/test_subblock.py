@@ -107,3 +107,39 @@ def test_subblock_renderer_image_matches_brute():
         st = r.render(camera=cam, frames=2)
         imgs[traversal] = r.image(st)
     assert rmse(imgs["brute"], imgs["pallas2"]) < 1e-6
+
+
+def test_subblock_multipart_matches_packet(monkeypatch):
+    """Scenes partitioned into multiple sub-block parts (the VMEM-budget
+    de-cliff path) must produce identical nearest hits: parts chain with
+    cross-part best-t pruning and a strict-< host combine."""
+    import opengl_raytracer_tpu.ops.wide2 as wide2
+
+    orig = wide2.build_subblock_parts
+
+    def tiny_budget(v0, v1, v2, tri16, method="sah", **kw):
+        return orig(v0, v1, v2, tri16, method=method,
+                    budget_bytes=64 * 1024)
+    monkeypatch.setattr(wide2, "build_subblock_parts", tiny_budget)
+
+    sc = random_scene(n_tris=1200)
+    data = sc.send()
+    assert len(data.p2_extra) >= 1, "scene should have split into parts"
+    # every global triangle appears exactly once across parts' remaps
+    seen = []
+    for nr, tr, rm in [(data.p2_node_rows, data.p2_tri_rows, data.p2_remap)
+                       ] + list(data.p2_extra):
+        tr = np.asarray(tr).reshape(-1, 16)
+        rm = np.asarray(rm)
+        live = np.any(tr[:, 9:12] != 0, axis=1)  # face != 0
+        seen.extend(rm[live].tolist())
+    assert sorted(seen) == sorted(set(seen))
+    assert len(seen) == 1200
+
+    o, d = random_rays(1024)
+    a = raycast_packet(data, o, d, max_leaf_tris=16)
+    b = raycast_subblock(data, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t),
+                               rtol=1e-6, atol=1e-6)
+    hit = np.asarray(a.t) < 1e29
+    assert (np.asarray(a.tri)[hit] == np.asarray(b.tri)[hit]).all()
