@@ -69,7 +69,7 @@ def main():
         n_alive = int(jnp.sum(alive))
         (o_s, d_s, a_s), t_sort = timeit(f"seg{b} sort", f_sort, o, d, alive)
         (near, iters), t_rc = timeit(f"seg{b} raycast", f_rc, o_s, d_s, a_s)
-        it = np.asarray(iters).reshape(-1, 8, 128)[:, 0, 0]
+        it = np.asarray(iters)
         total_iters = int(it.sum())
         ns_per_iter = t_rc * 1e9 / max(total_iters, 1)
         n_steps = it.shape[0]

@@ -56,13 +56,25 @@ def ray_sort_keys(origin, direction, lo, hi, alive=None) -> jnp.ndarray:
     and 3 bits/axis (fragments spatial locality); the top bit of each
     2-bit field is the sign, so sorted blocks stay octant-pure for the
     traversal's precomputed child ordering.
+
+    Within a direction cell, the minor bits interleave COARSE position
+    (top 12 Morton bits, 16^3 cells) above FINE direction (2 more bits of
+    y/z plus 4 of z at 16 levels/axis) above fine position: packets from
+    one scene region flying one way agree on both the entry subtree and
+    the frustum, and the measured 128-ray traversal unions are ~10%
+    cheaper in expands than dir6|morton24 (experiments/key_sweep.py:
+    E 55.9 vs 62.1, L 57.7 vs 58.8 per packet on bounce-2 rays).
     """
     extent = jnp.maximum(hi - lo, np.float32(1e-6))
     q = ((origin - lo) / extent * np.float32(512.0))
     q = jnp.clip(q, 0.0, 511.0).astype(jnp.uint32)
     dq = jnp.clip((direction * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.uint32)
     dir6 = (dq[..., 0] << _U(4)) | (dq[..., 1] << _U(2)) | dq[..., 2]
-    key = (dir6 << _U(24)) | (morton3d(q) >> _U(3))
+    dq4 = jnp.clip((direction * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.uint32)
+    dfine6 = ((dq4[..., 1] & _U(3)) << _U(4)) | dq4[..., 2]
+    m = morton3d(q)
+    key = ((dir6 << _U(26)) | ((m >> _U(15)) << _U(14))
+           | (dfine6 << _U(8)) | ((m >> _U(7)) & _U(0xFF)))
     if alive is not None:
         key = jnp.where(alive, key, _U(0xFFFFFFFF))
     return key
