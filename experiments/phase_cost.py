@@ -134,8 +134,7 @@ def make_kernel(variant):
                 out_big[out_row] = bt_scr[dst]
                 out_big[jnp.minimum(out_row + 1, 71)] = bu_scr[dst]
                 out_big[jnp.minimum(out_row + 2, 71)] = bv_scr[dst]
-                out_big[jnp.minimum(out_row + 3, 71)] = (
-                    bsl_scr[dst].astype(jnp.float32))
+                out_big[jnp.minimum(out_row + 3, 71)] = bsl_scr[dst]
                 nxt = cnt[0]
                 got = serving & (nxt < 64)
                 src_i = jnp.minimum(nxt, 63) % _SUB
@@ -166,15 +165,13 @@ def make_kernel(variant):
                 dried = served & ~gm
                 bt = jnp.where(claimed, st0[0:_SUB],
                                jnp.where(dried, -1e30, bt_scr[0:_SUB]))
-                o_x = so_x[0:_SUB]
-                o_y = so_y[0:_SUB]
-                o_z = so_z[0:_SUB]
-                d_x = sd_x[0:_SUB]
-                d_y = sd_y[0:_SUB]
-                d_z = sd_z[0:_SUB]
-                inv_x = si_x[0:_SUB]
-                inv_y = si_y[0:_SUB]
-                inv_z = si_z[0:_SUB]
+                # the 10 per-iteration ray-tile reads (kept live through
+                # bt so the phases' o_x/d_x closure vars stay intact —
+                # cost parity with the real kernel's re-reads)
+                tiles = (so_x[0:_SUB] + so_y[0:_SUB] + so_z[0:_SUB]
+                         + sd_x[0:_SUB] + sd_y[0:_SUB] + sd_z[0:_SUB]
+                         + si_x[0:_SUB] + si_y[0:_SUB] + si_z[0:_SUB])
+                bt = bt + tiles * 1e-30
                 bt_scr[0:_SUB] = bt
 
             # ---- the 24 dynamic row loads (counter-derived indices) ----
@@ -410,9 +407,7 @@ def run(variant):
                         pltpu.VMEM((_SUB, _LANE), jnp.float32),
                         pltpu.VMEM((_SUB, _LANE), jnp.float32)]
                    + [pltpu.VMEM((16, _LANE), jnp.float32)] * 10
-                   + [pltpu.VMEM((16, _LANE), jnp.float32)] * 3
-                   + [pltpu.VMEM((16, _LANE), jnp.int32)]
-                   + [pltpu.VMEM((16, _LANE), jnp.float32)]
+                   + [pltpu.VMEM((16, _LANE), jnp.float32)] * 5
                    + [pltpu.VMEM((72, _LANE), jnp.float32)]
                    + [pltpu.SMEM((1,), jnp.int32),
                       pltpu.SMEM((16,), jnp.int32)],

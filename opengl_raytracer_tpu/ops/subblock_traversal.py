@@ -8,13 +8,21 @@ packet needs ~50 node+octet pops on average while the 1024-block pays
 ~217 heavier iterations, and packets inside a block are ~1.4-2.5x
 imbalanced.
 
-This kernel runs EIGHT INDEPENDENT 128-ray packets per instance — one per
-sublane row — each with its own node pointer, its own dual stacks (node
-stack + leaf-octet stack), and its own progress.  When a row finishes its
-packet it *steals the next packet* from the grid step's pool (a shared
-SMEM counter), so fast rows absorb the stragglers' imbalance.
+This kernel runs SIXTEEN INDEPENDENT 128-ray packets per instance — one
+per sublane row of two stacked (8,128) register tiles — each with its own
+node pointer, its own dual stacks (node stack + leaf-octet stack), and
+its own progress.  When a row finishes its packet it *steals the next
+packet* from the grid step's pool (a shared SMEM counter), so fast rows
+absorb the stragglers' imbalance.  16 rows (vs the first version's 8)
+double the dense vector work per iteration while the iteration's SERIAL
+spine (pops -> VMEM-round-trip scalar extraction -> dynamic row loads)
+stays ~constant: the spine latency, measured as the gap between the
+sum-of-phases cost and the in-situ per-iteration cost
+(experiments/phase_cost.py), is amortized over twice the rays.  TWO rows
+are served per iteration — with one, E~13 primary-ray packets are
+serve-rate-bound (16 rows / E > 1 serve per iteration demanded).
 
-Per iteration, all work is dense (8,128) vector math with BRANCH-FREE
+Per iteration, all work is dense (16,128) vector math with BRANCH-FREE
 claims (conditional per-row claim blocks measured ~5.5 us per firing —
 fatal on short packets; instead ONE done row is served per iteration with
 unconditional dynamic loads/stores routed to a dummy row when idle):
@@ -29,7 +37,7 @@ unconditional dynamic loads/stores routed to a dummy row when idle):
   3. serve the lowest done row: copy its finished results to the output
      rows (best t/slot/u/v live in VMEM scratch so rows are dynamically
      addressable), then claim the next pool packet (10 dynamic row loads
-     of its rays); all stores target scratch row 8 / output row POOL
+     of its rays); all stores target scratch row 16 / output row POOL
      (dummies) when there is nothing to serve
   4. 16 dynamic row loads: each row's wide-node row + octet row
   5. expand: 8 static-j child slab tests, child j's bounds broadcast
@@ -60,9 +68,12 @@ from jax.experimental.pallas import tpu as pltpu
 from opengl_raytracer_tpu.ops.intersect import BIG, EPS, Nearest
 from opengl_raytracer_tpu.ops.wide2 import EMPTY_PACKED, ORD0
 
-_SUB, _LANE = 8, 128
-_SCR = 16           # scratch rows: 0-7 live, 8 dummy claim target
-POOL = 64           # packets per grid step (8192 rays)
+_SUB, _LANE = 16, 128
+_SCR = 24           # scratch rows: 0-15 live, 16 dummy claim target
+POOL = 128          # packets per grid step (16384 rays): 8 packets/row
+                    # keeps the end-of-pool drain tail (straggler rows
+                    # finishing while others idle) the same fraction as
+                    # the 8-row kernel
 OUTR = POOL + 8     # output rows per step: POOL real + dummy row POOL
 STACK_N = 128       # per-row node stack (lanes)
 STACK_L = 256       # per-row leaf-octet stack (lanes)
@@ -124,46 +135,56 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             [word + jnp.zeros((_SUB, 64), jnp.int32),
              idx_l2 + jnp.zeros((_SUB, 64), jnp.int32)], axis=1)
 
-        # ---- 3. branch-free serve-one claim ----
-        # Branch-free serve: pl.when-gating this block measured SLOWER
+        # ---- 3. branch-free serve-two claims ----
+        # Branch-free: pl.when-gating the serve block measured SLOWER
         # (Mosaic branches stall the pipeline); idle iterations route every
-        # store to dummy scratch row 8 / dummy output row POOL instead.
-        r_star = jnp.min(jnp.where(done, sub_iota, _SUB))  # scalar
-        serving = r_star < _SUB
-        dst = jnp.where(serving, r_star, _SUB)             # dummy row 8
-        old = pkt_ids[dst]
-        out_row = jnp.where(serving & (old >= 0), old, POOL)
-        # finished packet's results -> output (dummy row when idle)
-        t_out[out_row] = bt_scr[dst]
-        slot_out[out_row] = bsl_scr[dst]
-        u_out[out_row] = bu_scr[dst]
-        v_out[out_row] = bv_scr[dst]
-        # claim the next packet (or mark the row dry)
-        nxt = cnt[0]
-        got = serving & (nxt < POOL)
-        src = jnp.minimum(nxt, POOL - 1)
-        cnt[0] = nxt + got.astype(jnp.int32)
-        pkt_ids[dst] = jnp.where(got, nxt, -1)
-        so_x[dst] = ox[src]
-        so_y[dst] = oy[src]
-        so_z[dst] = oz[src]
-        sd_x[dst] = dx[src]
-        sd_y[dst] = dy[src]
-        sd_z[dst] = dz[src]
-        si_x[dst] = ix[src]
-        si_y[dst] = iy[src]
-        si_z[dst] = iz[src]
-        st0[dst] = t0[src]
-        # the pool-dry flag crosses to the vector side through memory
-        # (Mosaic has no dynamic-scalar lane broadcast)
+        # store to dummy scratch row 16 / dummy output row POOL instead.
+        # The whole serve machinery measures ~FREE in context (phase_cost
+        # all2 1490 vs allserve 1464 ns/iter): it pipelines fully behind
+        # the vector phases, so serving two rows costs nothing extra.
+        def serve_one(excl):
+            avail = done & (sub_iota != excl)
+            r_star = jnp.min(jnp.where(avail, sub_iota, _SUB))  # scalar
+            serving = r_star < _SUB
+            dst = jnp.where(serving, r_star, _SUB)         # dummy row 16
+            old = pkt_ids[dst]
+            out_row = jnp.where(serving & (old >= 0), old, POOL)
+            # finished packet's results -> output (dummy row when idle)
+            t_out[out_row] = bt_scr[dst]
+            slot_out[out_row] = bsl_scr[dst]
+            u_out[out_row] = bu_scr[dst]
+            v_out[out_row] = bv_scr[dst]
+            # claim the next packet (or mark the row dry)
+            nxt = cnt[0]
+            got = serving & (nxt < POOL)
+            src = jnp.minimum(nxt, POOL - 1)
+            cnt[0] = nxt + got.astype(jnp.int32)
+            pkt_ids[dst] = jnp.where(got, nxt, -1)
+            so_x[dst] = ox[src]
+            so_y[dst] = oy[src]
+            so_z[dst] = oz[src]
+            sd_x[dst] = dx[src]
+            sd_y[dst] = dy[src]
+            sd_z[dst] = dz[src]
+            si_x[dst] = ix[src]
+            si_y[dst] = iy[src]
+            si_z[dst] = iz[src]
+            st0[dst] = t0[src]
+            # the pool-dry flag crosses to the vector side through memory
+            # (Mosaic has no dynamic-scalar lane broadcast)
 
-        @pl.when(got)
-        def _():
-            flag_scr[dst] = jnp.ones((_LANE,), jnp.float32)
+            @pl.when(got)
+            def _():
+                flag_scr[dst] = jnp.ones((_LANE,), jnp.float32)
 
-        @pl.when(jnp.logical_not(got))
-        def _():
-            flag_scr[dst] = jnp.zeros((_LANE,), jnp.float32)
+            @pl.when(jnp.logical_not(got))
+            def _():
+                flag_scr[dst] = jnp.zeros((_LANE,), jnp.float32)
+
+            return r_star
+
+        r_star = serve_one(jnp.int32(_SUB))
+        r_star2 = serve_one(r_star)
 
         # ---- 4. dynamic row loads (idle rows load row 0 = the root the
         # freshly served row is about to expand) ----
@@ -174,7 +195,7 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             tri_scr2[r] = tri_rows[xfer[r, 64]]
 
         # ---- vector-side claim effects ----
-        served = done & (sub_iota == r_star)
+        served = done & ((sub_iota == r_star) | (sub_iota == r_star2))
         gm = flag_scr[0:_SUB, 0:1] > 0.5               # stale rows masked below
         claimed = served & gm                          # row got fresh rays
         dried = served & ~gm                           # pool exhausted
