@@ -8,19 +8,23 @@ packet needs ~50 node+octet pops on average while the 1024-block pays
 ~217 heavier iterations, and packets inside a block are ~1.4-2.5x
 imbalanced.
 
-This kernel runs SIXTEEN INDEPENDENT 128-ray packets per instance — one
-per sublane row of two stacked (8,128) register tiles — each with its own
-node pointer, its own dual stacks (node stack + leaf-octet stack), and
-its own progress.  When a row finishes its packet it *steals the next
-packet* from the grid step's pool (a shared SMEM counter), so fast rows
-absorb the stragglers' imbalance.  16 rows (vs the first version's 8)
-double the dense vector work per iteration while the iteration's SERIAL
-spine (pops -> VMEM-round-trip scalar extraction -> dynamic row loads)
-stays ~constant: the spine latency, measured as the gap between the
-sum-of-phases cost and the in-situ per-iteration cost
-(experiments/phase_cost.py), is amortized over twice the rays.  TWO rows
-are served per iteration — with one, E~13 primary-ray packets are
-serve-rate-bound (16 rows / E > 1 serve per iteration demanded).
+This kernel runs SIXTY-FOUR INDEPENDENT 128-ray packets per instance —
+one per sublane row — each with its own node pointer, its own dual
+stacks (node stack + leaf-octet stack), and its own progress.  When a
+row finishes its packet it *steals the next packet* from the grid step's
+pool (a shared SMEM counter), so fast rows absorb the stragglers'
+imbalance.  Row count is the spine-amortization knob: the iteration's
+SERIAL spine (pops -> VMEM-round-trip scalar extraction -> dynamic row
+loads) costs ~0.7us regardless of row count — measured as the gap
+between the sum-of-phases cost and the in-situ per-iteration cost
+(experiments/phase_cost.py; the serve machinery itself pipelines to
+~free, all2 1490 vs allserve 1464 ns/iter) — while the dense vector
+phases scale linearly, so wider instances amortize the spine over more
+rays: 8 -> 16 -> 32 -> 64 rows measured 212.9 -> 200.9 -> 190.0 ->
+171.5 ms on the 2M-ray sorted bounce proxy (128 rows exceeds the 16 MB
+VMEM scoped budget).  N_SERVE rows are served per iteration — with one,
+E~13 primary-ray packets are serve-rate-bound (_SUB/E serves demanded
+per iteration).
 
 Per iteration, all work is dense (16,128) vector math with BRANCH-FREE
 claims (conditional per-row claim blocks measured ~5.5 us per firing —
@@ -68,9 +72,11 @@ from jax.experimental.pallas import tpu as pltpu
 from opengl_raytracer_tpu.ops.intersect import BIG, EPS, Nearest
 from opengl_raytracer_tpu.ops.wide2 import EMPTY_PACKED, ORD0
 
-_SUB, _LANE = 16, 128
-_SCR = 24           # scratch rows: 0-15 live, 16 dummy claim target
-POOL = 128          # packets per grid step (16384 rays): 8 packets/row
+_SUB, _LANE = 64, 128
+_SCR = 72           # scratch rows: 0-63 live, 64 dummy claim target
+N_SERVE = 5         # rows served per iteration: ceil(_SUB / ~13), the
+                    # serve demand of E~13 primary-ray packets
+POOL = 512          # packets per grid step (65536 rays): 8 packets/row
                     # keeps the end-of-pool drain tail (straggler rows
                     # finishing while others idle) the same fraction as
                     # the 8-row kernel
@@ -142,8 +148,7 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
         # The whole serve machinery measures ~FREE in context (phase_cost
         # all2 1490 vs allserve 1464 ns/iter): it pipelines fully behind
         # the vector phases, so serving two rows costs nothing extra.
-        def serve_one(excl):
-            avail = done & (sub_iota != excl)
+        def serve_one(avail):
             r_star = jnp.min(jnp.where(avail, sub_iota, _SUB))  # scalar
             serving = r_star < _SUB
             dst = jnp.where(serving, r_star, _SUB)         # dummy row 16
@@ -183,8 +188,12 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
 
             return r_star
 
-        r_star = serve_one(jnp.int32(_SUB))
-        r_star2 = serve_one(r_star)
+        avail = done
+        stars = []
+        for _ in range(N_SERVE):
+            rs = serve_one(avail)
+            avail = avail & (sub_iota != rs)
+            stars.append(rs)
 
         # ---- 4. dynamic row loads (idle rows load row 0 = the root the
         # freshly served row is about to expand) ----
@@ -195,7 +204,10 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             tri_scr2[r] = tri_rows[xfer[r, 64]]
 
         # ---- vector-side claim effects ----
-        served = done & ((sub_iota == r_star) | (sub_iota == r_star2))
+        served_m = jnp.zeros((_SUB, 1), jnp.bool_)
+        for rs in stars:
+            served_m = served_m | (sub_iota == rs)
+        served = done & served_m
         gm = flag_scr[0:_SUB, 0:1] > 0.5               # stale rows masked below
         claimed = served & gm                          # row got fresh rays
         dried = served & ~gm                           # pool exhausted
