@@ -76,11 +76,14 @@ _SUB, _LANE = 64, 128
 _SCR = 72           # scratch rows: 0-63 live, 64 dummy claim target
 N_SERVE = 5         # rows served per iteration: ceil(_SUB / ~13), the
                     # serve demand of E~13 primary-ray packets
-POOL = 512          # packets per grid step (65536 rays): 8 packets/row
-                    # keeps the end-of-pool drain tail (straggler rows
-                    # finishing while others idle) the same fraction as
-                    # the 8-row kernel
-OUTR = POOL + 8     # output rows per step: POOL real + dummy row POOL
+POOL = 512          # default packets per grid step (65536 rays): 8
+                    # packets/row bounds the end-of-pool drain tail
+                    # (straggler rows finishing while others idle).
+POOL_BIG = 1024     # used when a part's tables fit the extra ~5.3 MB of
+                    # VMEM ray windows: 16 packets/row halves the drain
+                    # fraction (measured sub-iters/step mean 593 vs the
+                    # 440 work ideal at 8 packets/row).
+POOL_BIG_TABLE_BYTES = 4 * 1024 * 1024
 STACK_N = 128       # per-row node stack (lanes)
 STACK_L = 256       # per-row leaf-octet stack (lanes)
 _INT_BIG = np.int32(2**31 - 1)
@@ -94,7 +97,7 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
                      si_x, si_y, si_z, st0, flag_scr,
                      bt_scr, bsl_scr, bu_scr, bv_scr,
                      cnt, pkt_ids,
-                     *, n_wide: int, n_oct: int):
+                     *, n_wide: int, n_oct: int, pool: int):
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_N), 1)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
@@ -153,7 +156,7 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             serving = r_star < _SUB
             dst = jnp.where(serving, r_star, _SUB)         # dummy row 16
             old = pkt_ids[dst]
-            out_row = jnp.where(serving & (old >= 0), old, POOL)
+            out_row = jnp.where(serving & (old >= 0), old, pool)
             # finished packet's results -> output (dummy row when idle)
             t_out[out_row] = bt_scr[dst]
             slot_out[out_row] = bsl_scr[dst]
@@ -161,8 +164,8 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             v_out[out_row] = bv_scr[dst]
             # claim the next packet (or mark the row dry)
             nxt = cnt[0]
-            got = serving & (nxt < POOL)
-            src = jnp.minimum(nxt, POOL - 1)
+            got = serving & (nxt < pool)
+            src = jnp.minimum(nxt, pool - 1)
             cnt[0] = nxt + got.astype(jnp.int32)
             pkt_ids[dst] = jnp.where(got, nxt, -1)
             so_x[dst] = ox[src]
@@ -418,7 +421,13 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     """
     R = origin.shape[0]
     P = R // _LANE
-    pad_p = (-P) % POOL
+    table_bytes = node_rows.nbytes + tri_rows.nbytes
+    pool = POOL_BIG if table_bytes <= POOL_BIG_TABLE_BYTES else POOL
+    # small ray counts (tests, small tiles) need no giant pool: shrink to
+    # the padded packet count so interpret mode and tiny frames stay fast
+    pool = min(pool, max(16, -(-P // 8) * 8))
+    outr = pool + 8
+    pad_p = (-P) % pool
     Pp = P + pad_p
 
     def prep(x, fill=0.0):
@@ -440,11 +449,11 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
 
     Wr = node_rows.shape[0]
     Qr = tri_rows.shape[0]
-    grid = Pp // POOL
+    grid = Pp // pool
 
-    blk = pl.BlockSpec((POOL, _LANE), lambda i: (i, 0),
+    blk = pl.BlockSpec((pool, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((OUTR, _LANE), lambda i: (i, 0),
+    out_blk = pl.BlockSpec((outr, _LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     it_blk = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -455,15 +464,15 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
 
     f32 = jnp.float32
     t, slot, u, v, iters = pl.pallas_call(
-        partial(_traverse_kernel, n_wide=Wr, n_oct=Qr),
+        partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool),
         grid=(grid,),
         in_specs=[blk] * 10 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
         out_specs=[out_blk, out_blk, out_blk, out_blk, it_blk],
         out_shape=[
-            jax.ShapeDtypeStruct((grid * OUTR, _LANE), f32),
-            jax.ShapeDtypeStruct((grid * OUTR, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((grid * OUTR, _LANE), f32),
-            jax.ShapeDtypeStruct((grid * OUTR, _LANE), f32),
+            jax.ShapeDtypeStruct((grid * outr, _LANE), f32),
+            jax.ShapeDtypeStruct((grid * outr, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((grid * outr, _LANE), f32),
+            jax.ShapeDtypeStruct((grid * outr, _LANE), f32),
             jax.ShapeDtypeStruct((grid * _SUB, _LANE), jnp.int32),
         ],
         scratch_shapes=[
@@ -484,7 +493,7 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
       node_rows, tri_rows)
 
     def unpad(a):
-        a = a.reshape(grid, OUTR, _LANE)[:, :POOL]
+        a = a.reshape(grid, outr, _LANE)[:, :pool]
         return a.reshape(Pp * _LANE)[:R]
 
     t = unpad(t)
