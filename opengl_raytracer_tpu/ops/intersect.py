@@ -91,12 +91,21 @@ def slab_test(origin, inv_dir, box_min, box_max):
 
 class Nearest(NamedTuple):
     """Carry for nearest-hit reduction: distance, triangle id (in permuted
-    order), and that triangle's barycentrics."""
+    order), and that triangle's barycentrics.
+
+    ``slot`` (sub-block backend only) is the winner's global LEAF-SLOT id:
+    an index into the scene's slot-order shading table (SceneData.sh_slot)
+    that lets finalize_hit gather materials WITHOUT resolving slot -> tri
+    first — the 1-element-wide remap gather measures 14.8 ms per 2M rays
+    on TPU (4x the cost of the whole 24-wide shading row gather), and
+    keeping ``tri`` lazy lets XLA dead-code it out of the render loop.
+    ``tri`` stays exact for every consumer that wants it."""
 
     t: jnp.ndarray  # (R,)
     tri: jnp.ndarray  # (R,) int32
     u: jnp.ndarray  # (R,)
     v: jnp.ndarray  # (R,)
+    slot: jnp.ndarray | None = None  # (R,) int32 global leaf slot
 
 
 def init_nearest(num_rays: int) -> Nearest:
@@ -201,7 +210,6 @@ def finalize_hit(scene, origin, direction, nearest: Nearest) -> Hit:
     (fragment.glsl:146-176): hit point, smooth barycentric normal with
     degenerate fallback to the geometric normal, flip-to-face-ray, and
     material gather."""
-    tri = nearest.tri
     did_hit = nearest.t < BIG
 
     point = origin + direction * nearest.t[:, None]
@@ -210,7 +218,14 @@ def finalize_hit(scene, origin, direction, nearest: Nearest) -> Hit:
     # gathers cost roughly the same per row as per element (~7 ms per 2M
     # indices), so packing ALL the shading data into one row (Scene.send)
     # cuts the per-bounce material fetch ~6x vs per-column fetches.
-    abc = scene.sh_abc[tri]
+    # When the traversal reports a leaf SLOT, gather from the slot-order
+    # copy of the table instead: skipping the slot->tri remap removes a
+    # 1-wide gather that costs 4x this whole row gather (see Nearest).
+    slot = nearest.slot
+    if slot is not None and scene.sh_slot.shape[0] > 0:
+        abc = scene.sh_slot[jnp.clip(slot, 0, scene.sh_slot.shape[0] - 1)]
+    else:
+        abc = scene.sh_abc[nearest.tri]
     n0 = abc[:, 0:3]
     n1 = abc[:, 3:6]
     n2 = abc[:, 8:11]

@@ -79,17 +79,26 @@ N_SERVE = 5         # rows served per iteration: ceil(_SUB / ~13), the
 POOL = 512          # default packets per grid step (65536 rays): 8
                     # packets/row bounds the end-of-pool drain tail
                     # (straggler rows finishing while others idle).
-POOL_BIG = 1024     # used when a part's tables fit the extra ~5.3 MB of
-                    # VMEM ray windows: 16 packets/row halves the drain
+POOL_BIG = 640      # used when a part's tables fit the extra VMEM ray
+                    # windows: 10 packets/row cuts the end-of-pool drain
                     # fraction (measured sub-iters/step mean 593 vs the
-                    # 440 work ideal at 8 packets/row).
+                    # 440 work ideal at 8 packets/row; pool 1024 measured
+                    # a further -11% on the bounce proxy).  Pool sizing is
+                    # bounded by the 16 MB scoped-VMEM budget, and the
+                    # accounting is CONTEXT-DEPENDENT: the pipeline
+                    # double-buffers every grid-indexed window
+                    # (~11 KB/packet across the 7 ins + 4 outs) and eager
+                    # call sites co-schedule pad/copy ops into the same
+                    # scope (1024 compiled under the renderer's jit but
+                    # OOMed at 19.7 MB eager; 768 OOMed at 16.96 MB).
+                    # 640 measures ~15.5 MB in the worst context.
 POOL_BIG_TABLE_BYTES = 4 * 1024 * 1024
 STACK_N = 128       # per-row node stack (lanes)
 STACK_L = 256       # per-row leaf-octet stack (lanes)
 _INT_BIG = np.int32(2**31 - 1)
 
 
-def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
+def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
                      node_rows, tri_rows,
                      t_out, slot_out, u_out, v_out, it_out,
                      stack_n, stack_l, node_scr, tri_scr, tri_scr2, xfer,
@@ -174,9 +183,14 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
             sd_x[dst] = dx[src]
             sd_y[dst] = dy[src]
             sd_z[dst] = dz[src]
-            si_x[dst] = ix[src]
-            si_y[dst] = iy[src]
-            si_z[dst] = iz[src]
+            # inverses computed here instead of shipped as 3 more input
+            # windows: grid-indexed inputs are DOUBLE-BUFFERED by the
+            # pipeline, so each dropped array saves 2 window buffers
+            # (3.1 MB at the 1024-packet pool -- the difference between
+            # fitting and blowing the 16 MB scoped-VMEM budget)
+            si_x[dst] = 1.0 / dx[src]
+            si_y[dst] = 1.0 / dy[src]
+            si_z[dst] = 1.0 / dz[src]
             st0[dst] = t0[src]
             # the pool-dry flag crosses to the vector side through memory
             # (Mosaic has no dynamic-scalar lane broadcast)
@@ -387,11 +401,14 @@ def raycast_subblock(scene, origin, direction, active=None,
 
     near = None
     iters_all = None
+    slot_base = 0
     for node_rows, tri_rows, remap in parts:
         t_init = None if near is None else near.t
         pn, iters = _raycast_one_part(
             node_rows, tri_rows, remap, origin, direction, active,
             t_init, interpret)
+        pn = pn._replace(slot=pn.slot + slot_base)
+        slot_base += int(remap.shape[0])
         if near is None:
             near = pn
         else:
@@ -401,6 +418,7 @@ def raycast_subblock(scene, origin, direction, active=None,
                 tri=jnp.where(better, pn.tri, near.tri),
                 u=jnp.where(better, pn.u, near.u),
                 v=jnp.where(better, pn.v, near.v),
+                slot=jnp.where(better, pn.slot, near.slot),
             )
         iters_all = iters if iters_all is None else iters_all + iters
     if active is not None:
@@ -438,9 +456,9 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
         return x
 
     ox, oy, oz = (prep(origin[:, i]) for i in range(3))
-    # pad directions with 1s so 1/d stays finite on dead pad packets
+    # pad directions with 1s so the in-kernel 1/d stays finite on dead
+    # pad packets
     dx, dy, dz = (prep(direction[:, i], 1.0) for i in range(3))
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
     t0 = jnp.full((R,), BIG, jnp.float32) if t_init is None else t_init
     if active is not None:
@@ -466,7 +484,7 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     t, slot, u, v, iters = pl.pallas_call(
         partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool),
         grid=(grid,),
-        in_specs=[blk] * 10 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
+        in_specs=[blk] * 7 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
         out_specs=[out_blk, out_blk, out_blk, out_blk, it_blk],
         out_shape=[
             jax.ShapeDtypeStruct((grid * outr, _LANE), f32),
@@ -489,7 +507,7 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
              pltpu.VMEM((_SCR, _LANE), f32)]          # bv
           + [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((_SCR,), jnp.int32)],
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, ix, iy, iz, t0,
+    )(ox, oy, oz, dx, dy, dz, t0,
       node_rows, tri_rows)
 
     def unpad(a):
@@ -501,12 +519,17 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     u = unpad(u)
     v = unpad(v)
     did_hit = (t < BIG) & (t > -BIG)
-    tri = remap[jnp.clip(slot, 0, remap.shape[0] - 1)]
+    slot = jnp.clip(slot, 0, remap.shape[0] - 1)
+    # tri stays exact for consumers that want it, but finalize_hit
+    # gathers by SLOT (sh_slot) so this remap gather dead-codes out of
+    # the render loop (it costs 4x the 24-wide shading gather).
+    tri = remap[slot]
 
     near = Nearest(
         t=jnp.where(did_hit, t, BIG),
         tri=tri,
         u=jnp.where(did_hit, u, 0.0),
         v=jnp.where(did_hit, v, 0.0),
+        slot=slot,
     )
     return near, iters[::_SUB, 0]
