@@ -190,15 +190,16 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
 def build_subblock_parts(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                          tri16: np.ndarray, method: str = "sah",
-                         budget_bytes: int = 10 * 1024 * 1024,
+                         budget_bytes: int = 8 * 1024 * 1024,
                          max_parts: int = 16) -> tuple[SubblockTables, ...]:
     """Partitioned sub-block tables for scenes whose tables exceed the VMEM
     budget (the round-1 'cliff' — VERDICT item 6).
 
     Triangles are split spatially (recursive centroid-median halving along
     the largest axis) into the fewest parts whose per-part tables fit
-    ``budget_bytes`` (10 MB: the 64-row kernel's ray windows + scratch
-    take ~4.5 MB of the 16 MB scoped VMEM); each part is an independent sub-block BVH over the
+    ``budget_bytes`` (8 MB: the 64-row kernel's double-buffered ray
+    windows + scratch take ~7.5 MB of the 16 MB scoped VMEM at the
+    512-packet pool); each part is an independent sub-block BVH over the
     SAME global triangle index space (remap is rebased), so the traversal
     can chain parts with cross-part ``best_t`` pruning and a strict-``<``
     host combine.  Ray cost per part collapses to ~2 iterations when the
