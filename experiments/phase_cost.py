@@ -14,6 +14,17 @@ Variants:
   push       : loads + octant-order extraction + tree-combined stack adds
   push2      : push with PARALLEL-PREFIX rank positions ((8,8) lane-domain
                prefix sums instead of the serial per-rank (8,1) pos chain)
+
+MEASURED OUTCOMES (TPU v5e): loads ~0 (prefetchable), pops 113,
+expand 502, push 1370 (serial chain; push2 1120 isolated / ~360 in
+context), leaf1 347, leaf2 579, all 1871, all2 1490, allserve 1464
+(serve machinery pipelines to ~FREE), expand2 821 (pltpu.roll lane
+OR-reduce is 60% SLOWER than 8 jnp.any reductions — rolls don't
+pipeline; negative result), all3 1616.  Conclusions that shaped the
+kernel: the serve/claim block costs nothing in context; the vector
+phases are issue-bound and near their op-count floor; the only
+iteration-cost lever left was amortizing the serial spine over more
+rows (8 -> 64).
   pops       : loads + dual-stack one-hot pops + index arithmetic
   all        : loads + pops + expand + push + leaf2 (~ the real body
                minus serve machinery)

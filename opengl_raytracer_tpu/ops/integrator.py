@@ -22,8 +22,9 @@ can skip work for terminated paths.
   independent restarts of the same primary ray, with the RNG state carried
   sequentially across samples exactly like the shader's single ``seed``.
 
-The bounce loop is a ``lax.while_loop`` so a ray chunk whose paths all
-terminate early stops tracing — the vector analog of the shader's breaks.
+The bounce loop is UNROLLED (the bounce count is a static config int):
+dead rays carry an ``alive`` mask — the vector analog of the shader's
+breaks — and contribute exactly their frozen light to every later bounce.
 """
 
 from __future__ import annotations
@@ -112,11 +113,7 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         scene_lo = scene.node_min[0]
         scene_hi = scene.node_max[0]
 
-    def cond(state):
-        i, _, _, _, _, alive, _, _ = state
-        return (i < n_bounces) & jnp.any(alive)
-
-    def body(state):
+    def body(state, static_i=None):
         i, origin, direction, ray_color, incoming, alive, seed, orig = state
 
         if reorder:
@@ -146,12 +143,13 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
                         jnp.stack([i0, i1, i2], axis=-1),
                         alive_s, seed_s, orig_s)
 
-            (origin, direction, ray_color, incoming, alive, seed, orig) = (
-                jax.lax.cond(
-                    i > 0, do_sort, lambda a: a,
-                    (origin, direction, ray_color, incoming, alive, seed, orig),
-                )
-            )
+            args = (origin, direction, ray_color, incoming, alive, seed,
+                    orig)
+            if static_i is None:
+                args = jax.lax.cond(i > 0, do_sort, lambda a: a, args)
+            elif static_i > 0:
+                args = do_sort(args)
+            (origin, direction, ray_color, incoming, alive, seed, orig) = args
 
         nearest = raycast_fn(origin, direction, alive)
         hit = finalize_hit(scene, origin, direction, nearest)
@@ -188,7 +186,16 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         seed0,
         jnp.arange(R, dtype=jnp.int32),
     )
-    state = jax.lax.while_loop(cond, body, state)
+    # The bounce count is STATIC (a python int from the config), so the
+    # loop unrolls.  Measured equal to the lax.while_loop version at 1080p
+    # (813 vs 817 ms/frame -- XLA's loop carries were already cheap), but
+    # unrolling drops bounce 0's sort branch at trace time and keeps every
+    # bounce index static for the profiler.  The reference's early exit on
+    # all-paths-dead (fragment.glsl:313's loop bound with breaks) is
+    # preserved semantically by the alive masks -- dead rays contribute
+    # exactly their frozen incoming light.
+    for _i in range(int(n_bounces)):
+        state = body(state, static_i=_i)
     incoming, seed, orig = state[4], state[6], state[7]
     if reorder:
         # Restore pixel order: one more multi-operand sort keyed by the
