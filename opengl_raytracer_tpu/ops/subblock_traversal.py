@@ -93,7 +93,12 @@ POOL_BIG = 640      # used when a part's tables fit the extra VMEM ray
                     # OOMed at 19.7 MB eager; 768 OOMed at 16.96 MB).
                     # 640 measures ~15.5 MB in the worst context.
 POOL_BIG_TABLE_BYTES = 4 * 1024 * 1024
-STACK_N = 128       # per-row node stack (lanes)
+STACK_N = 128       # per-row node stack (lanes).  64 lanes would
+                    # cover any legal depth, but measured 11%
+                    # SLOWER: sub-128-lane tiles half-fill the
+                    # native (8,128) vregs, so the one-hot ops
+                    # don't get cheaper and layout handling adds
+                    # cost (170.2 vs 153.9 ms bounce proxy)
 STACK_L = 256       # per-row leaf-octet stack (lanes)
 _INT_BIG = np.int32(2**31 - 1)
 

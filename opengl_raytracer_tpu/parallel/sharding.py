@@ -157,8 +157,17 @@ class ShardedRenderer:
             )
         traversal = config.traversal
         if traversal == "auto":
-            traversal = ("brute" if scene_data.num_tris <= _BRUTE_MAX_TRIS
-                         else "packet")
+            from opengl_raytracer_tpu.ops.subblock_traversal import _on_tpu
+
+            if scene_data.num_tris <= _BRUTE_MAX_TRIS:
+                traversal = "brute"
+            elif _on_tpu() and scene_data.p2_node_rows.shape[0] > 0:
+                # same choice as the single-chip Renderer: the sub-block
+                # kernel composes with shard_map (each device traverses
+                # its own ray shard against the replicated tables)
+                traversal = "pallas2"
+            else:
+                traversal = "packet"
         local_rays = (config.tile_h // dp) * config.tile_w
         if traversal in ("packet", "pallas", "pallas2") and local_rays % 128:
             traversal = "bvh"  # packet-shaped paths need whole 128-ray packets

@@ -48,6 +48,25 @@ def test_sharded_matches_sequential(dp, sp):
     assert rmse(sharded_img, seq_img) < 1e-6
 
 
+def test_sharded_pallas2_matches_sequential():
+    """The production sub-block kernel must compose with shard_map: each
+    device traverses its ray shard against the replicated tables
+    (interpret mode on the CPU mesh; compiled parity is covered by
+    experiments/subblock_hw.py and tests/test_tpu_golden.py)."""
+    cfg = RenderConfig(width=16, height=16, bounces=2, traversal="pallas2")
+    scene = small_scene()
+
+    mesh = make_mesh(2, dp=2, sp=1)
+    sr = ShardedRenderer(scene, cfg, mesh)
+    assert sr.traversal == "pallas2"
+    state = sr.render(camera=CAM, frames=1)
+    sharded_img = sr.image(state)
+
+    r = Renderer(scene, cfg)
+    seq_img = r.image(r.render(camera=CAM, frames=1))
+    assert rmse(sharded_img, seq_img) < 1e-6
+
+
 @pytest.mark.parametrize("tile_size", [2, 3])
 def test_sharded_tiles_match_sequential(tile_size):
     """Tile scheduling under dp sharding (VERDICT item 8): band rows are
