@@ -37,7 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dragon asset name/path for the default scene")
     p.add_argument("--obj", default=None,
                    help="render a single OBJ (any path) instead of the default scene")
-    p.add_argument("--scale", type=float, default=1.0, help="scale for --obj")
+    p.add_argument("--scale", type=float, default=None,
+                   help="scale for --obj (default: auto-frame the mesh "
+                        "to ~16 world units so any OBJ is visible)")
     p.add_argument("--cam-pos", type=float, nargs=3, default=None)
     p.add_argument("--cam-dir", type=float, nargs=2, default=None,
                    help="yaw pitch in degrees")
@@ -66,9 +68,27 @@ def main(argv=None) -> int:
     scene = None
     cam_pos, cam_dir = args.cam_pos, args.cam_dir
     if args.obj:
+        scale = args.scale
+        obj_pos = [0.0, 0.0, 25.0]
+        if scale is None:
+            # Auto-frame: normalize the mesh's largest extent to ~20 world
+            # units and recenter on the view axis, so an arbitrary OBJ
+            # (e.g. an eval-time stanford_mediumdragon) fills the default
+            # camera's view instead of rendering as a speck (or filling
+            # the sky) at its native scale.
+            probe = Mesh([0, 0, 0], [0, 0, 0], args.obj, scale=1.0)
+            lo = probe.pos.min(axis=0)
+            hi = probe.pos.max(axis=0)
+            ext = float((hi - lo).max())
+            scale = 20.0 / max(ext, 1e-6)
+            center = (lo + hi) * 0.5 * scale
+            obj_pos = [0.0 - float(center[0]), 0.0 - float(center[1]),
+                       25.0 - float(center[2])]
+            print(f"--obj auto-frame: extent {ext:.3g} -> scale {scale:.3g}, "
+                  f"pos {[round(x, 2) for x in obj_pos]}")
         objs = [
-            Mesh([0, 0, 25], [0, 0, 0], args.obj, color=[0.8, 0.8, 0.8],
-                 roughness=1.0, scale=args.scale),
+            Mesh(obj_pos, [0, 0, 0], args.obj, color=[0.8, 0.8, 0.8],
+                 roughness=1.0, scale=scale),
             Rect([40, 0.2, 40], [0, -10, 25], [0, 0, 0], color=[0.7, 0.7, 0.7],
                  roughness=1.0),
         ]
