@@ -49,9 +49,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bvh-method", default="sah", choices=["sah", "mean"])
     p.add_argument("--interactive", action="store_true",
                    help="open a pygame window (needs a display)")
+    p.add_argument("--screen-size", type=int, nargs=2, default=None,
+                   metavar=("SW", "SH"),
+                   help="display window size; default (interactive mode) is "
+                        "derived from the monitor like the reference "
+                        "(main.py:456-468)")
     p.add_argument("--checkpoint", default=None,
                    help="resume from / save to this .npz checkpoint")
     return p
+
+
+def monitor_screen_size(render_height: int) -> tuple[int, int] | None:
+    """Display size from the monitor via a throwaway tkinter root, with the
+    reference's sizing rule (main.py:456-468): a render shorter than the
+    monitor displays at monitor/1.15; otherwise the display matches the
+    render height at the monitor's aspect.  Returns None when no display /
+    tkinter is available (headless fallback: display = render size)."""
+    try:
+        import tkinter as tk
+
+        window = tk.Tk()
+        mw = window.winfo_screenwidth()
+        mh = window.winfo_screenheight()
+        window.destroy()
+    except Exception:
+        return None
+    aspect = mw / mh
+    if render_height < mh:
+        return (int(mw // 1.15), int(mh // 1.15))
+    return (int(render_height * aspect), int(render_height))
 
 
 def main(argv=None) -> int:
@@ -99,8 +125,13 @@ def main(argv=None) -> int:
         if cam_dir is None:
             cam_dir = [0.0, 0.0]
 
+    screen_size = tuple(args.screen_size) if args.screen_size else None
+    if screen_size is None and args.interactive:
+        screen_size = monitor_screen_size(args.height)
+
     app = App(
         window_size=(args.width, args.height),
+        screen_size=screen_size,
         bounces=args.bounces,
         rays_per_pixel=args.spp,
         jitter_amount=args.jitter,

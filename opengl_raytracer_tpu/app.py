@@ -67,9 +67,13 @@ class App:
     ):
         w, h = int(window_size[0]), int(window_size[1])
         self.screen_size = tuple(screen_size) if screen_size is not None else (w, h)
+        # Ray-generation aspect comes from the DISPLAY size (reference
+        # main.py:137: aspect = sw / sh), a real divergence from the render
+        # aspect whenever screen_size != window_size.
         self.config = RenderConfig(
             width=w,
             height=h,
+            aspect=self.screen_size[0] / self.screen_size[1],
             bounces=bounces,
             rays_per_pixel=rays_per_pixel,
             jitter_amount=jitter_amount,
@@ -155,7 +159,11 @@ class App:
         from opengl_raytracer_tpu.utils.profiling import device_sync
 
         last = time.time()
-        for f in range(self.max_frames * self.config.tile_size ** 2):
+        # A full sweep is num_tiles_x * num_tiles_y steps — NOT tile_size**2:
+        # remainder tiles add a band per axis (e.g. 960x540 at tileSize=7 ->
+        # tile_w=137 -> 8x8 bands).  Reference semantics: main.py:409-418.
+        tiles = self.config.num_tiles_x * self.config.num_tiles_y
+        for f in range(self.max_frames * tiles):
             self.state = self.renderer.step(self.state, self.camera,
                                             lambertian=self.lambertian)
             if self.state.tile_x == 0 and self.state.tile_y == 0:

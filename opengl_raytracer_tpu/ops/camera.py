@@ -63,14 +63,19 @@ def make_camera(pos, cam_dir) -> Camera:
 
 
 def ray_dirs(camera: Camera, u: jnp.ndarray, v: jnp.ndarray, width: int, height: int,
-             fov: float = math.radians(90.0)) -> jnp.ndarray:
+             fov: float = math.radians(90.0),
+             aspect: float | None = None) -> jnp.ndarray:
     """Angle-linear primary ray directions for uv arrays of shape (R,).
 
     Exact ``getDir`` math (fragment.glsl:368-374) with the uniform setup of
-    main.py:166-170; ``aspect`` is width/height (main.py:137 uses the display
-    aspect, which equals the render aspect in the reference defaults).
+    main.py:166-170.  The reference computes ``aspect`` from the DISPLAY
+    size (``sw / sh``, main.py:137), not the render size — pass it when the
+    two differ (App threads ``screen_size``'s aspect through the config);
+    default is the render aspect, equal under the reference's defaults
+    (main.py:470 sizes the window from the same monitor aspect).
     """
-    aspect = width / height
+    if aspect is None:
+        aspect = width / height
     dir_start_x = -fov / 2.0 * aspect
     dir_start_y = -fov / 2.0
     x_step = fov * aspect

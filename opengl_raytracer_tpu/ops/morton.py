@@ -75,6 +75,11 @@ def ray_sort_keys(origin, direction, lo, hi, alive=None) -> jnp.ndarray:
     m = morton3d(q)
     key = ((dir6 << _U(26)) | ((m >> _U(15)) << _U(14))
            | (dfine6 << _U(8)) | ((m >> _U(7)) & _U(0xFF)))
+    # Reserve the dead-ray sentinel: the widened layout can reach
+    # 0xFFFFFFFF for a live ray with unnormalized direction components
+    # (dir6=63 needs two axes >= 0.875, unreachable when normalized —
+    # but clamp so the invariant never depends on the caller).
+    key = jnp.minimum(key, _U(0xFFFFFFFE))
     if alive is not None:
         key = jnp.where(alive, key, _U(0xFFFFFFFF))
     return key

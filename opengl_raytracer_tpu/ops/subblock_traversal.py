@@ -38,11 +38,11 @@ unconditional dynamic loads/stores routed to a dummy row when idle):
   2. pack (node, octet, octet2) per row into i32 words at lanes 0/64 of
      a VMEM tile, read scalars back (the Mosaic-safe computed-scalar
      path; verified on hardware by experiments/subblock_correct.py)
-  3. serve the lowest done row: copy its finished results to the output
-     rows (best t/slot/u/v live in VMEM scratch so rows are dynamically
-     addressable), then claim the next pool packet (10 dynamic row loads
-     of its rays); all stores target scratch row 16 / output row POOL
-     (dummies) when there is nothing to serve
+  3. serve the N_SERVE lowest done rows: copy each finished packet's
+     results to the output rows (best t/slot/u/v live in VMEM scratch so
+     rows are dynamically addressable), then claim the next pool packet
+     (10 dynamic row loads of its rays); all stores target the dummy
+     scratch row _SUB / output row POOL when there is nothing to serve
   4. 16 dynamic row loads: each row's wide-node row + octet row
   5. expand: 8 static-j child slab tests, child j's bounds broadcast
      from lanes [j*6, j*6+6) of each row's node record
@@ -103,15 +103,18 @@ STACK_L = 256       # per-row leaf-octet stack (lanes)
 _INT_BIG = np.int32(2**31 - 1)
 
 
-def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
-                     node_rows, tri_rows,
-                     t_out, slot_out, u_out, v_out, it_out,
-                     stack_n, stack_l, node_scr, tri_scr, tri_scr2, xfer,
-                     so_x, so_y, so_z, sd_x, sd_y, sd_z,
-                     si_x, si_y, si_z, st0, flag_scr,
-                     bt_scr, bsl_scr, bu_scr, bv_scr,
-                     cnt, pkt_ids,
-                     *, n_wide: int, n_oct: int, pool: int):
+def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
+                     leaf_pops: int):
+    (ox, oy, oz, dx, dy, dz, t0,
+     node_rows, tri_rows,
+     t_out, slot_out, u_out, v_out, it_out,
+     stack_n, stack_l, node_scr, *rest) = refs
+    tri_scrs = list(rest[:leaf_pops])
+    (xfer,
+     so_x, so_y, so_z, sd_x, sd_y, sd_z,
+     si_x, si_y, si_z, st0, flag_scr,
+     bt_scr, bsl_scr, bu_scr, bv_scr,
+     cnt, pkt_ids) = rest[leaf_pops:]
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_N), 1)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
@@ -128,47 +131,56 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
     def body(c):
         spn, spl, has, it = c                          # has: i32 0/1
 
-        # ---- 1. pops: one node + up to TWO leaf octets per row ----
+        # ---- 1. pops: one node + up to ``leaf_pops`` octets per row ----
         # Leaf pops dominate bounce-ray traversal (~2/3 of all pops), so
-        # draining two octets per iteration nearly halves the iteration
-        # count of leaf-bound packets for ~25% more per-iteration work.
+        # draining several octets per iteration divides the iteration
+        # count of leaf-bound packets for ~25%/octet more per-iteration
+        # work (dual pops measured a clear win in round 2).
         done = (spn <= 0) & (spl <= 0) & (has > 0)     # (8,1)
         act_n = (spn > 0) & (spl < STACK_L - 8)        # throttle node pops
-        act_l = spl > 0
-        act_l2 = spl > 1
+        act_ls = [spl > k for k in range(leaf_pops)]
         spn1 = spn - act_n.astype(jnp.int32)
-        spl1 = spl - act_l.astype(jnp.int32) - act_l2.astype(jnp.int32)
+        spl1 = spl
+        for a in act_ls:
+            spl1 = spl1 - a.astype(jnp.int32)
         sn_t = stack_n[:]
         sl_t = stack_l[:]
         e_n = jnp.sum(jnp.where(lane_n == spn1, sn_t, 0), axis=1,
                       keepdims=True)
-        e_l = jnp.sum(jnp.where(lane_l == (spl - 1), sl_t, 0), axis=1,
-                      keepdims=True)
-        e_l2 = jnp.sum(jnp.where(lane_l == (spl - 2), sl_t, 0), axis=1,
-                       keepdims=True)
+        e_ls = [jnp.sum(jnp.where(lane_l == (spl - 1 - k), sl_t, 0), axis=1,
+                        keepdims=True) for k in range(leaf_pops)]
         idx_n = jnp.clip(jnp.where(act_n, e_n, 0), 0, n_wide - 1)
-        idx_l = jnp.clip(jnp.where(act_l, -e_l - 1, 0), 0, n_oct - 1)
-        idx_l2 = jnp.clip(jnp.where(act_l2, -e_l2 - 1, 0), 0, n_oct - 1)
+        idx_ls = [jnp.clip(jnp.where(act_ls[k], -e_ls[k] - 1, 0), 0,
+                           n_oct - 1) for k in range(leaf_pops)]
 
         # ---- 2. scalar extraction via VMEM round-trip ----
-        # lanes [0, 64): node<<16 | first octet; lanes [64, 128): second
-        # octet — one store still transfers all three indices per row.
-        word = idx_n * 65536 + idx_l
+        # lanes [0, 64): node<<16 | first octet; lanes [64, 128): the
+        # remaining octet(s) — with three pops, octets 2 and 3 pack into
+        # one i32 (hi<<16 | lo; sound because per-part octet counts are
+        # bounded well under 2^15 by the VMEM table budget) — one store
+        # still transfers every index per row.
+        word = idx_n * 65536 + idx_ls[0]
+        if leaf_pops == 2:
+            word2 = idx_ls[1]
+        elif leaf_pops == 3:
+            word2 = idx_ls[1] * 65536 + idx_ls[2]
+        else:
+            raise ValueError(f"leaf_pops must be 2 or 3, got {leaf_pops}")
         xfer[:] = jnp.concatenate(
             [word + jnp.zeros((_SUB, 64), jnp.int32),
-             idx_l2 + jnp.zeros((_SUB, 64), jnp.int32)], axis=1)
+             word2 + jnp.zeros((_SUB, 64), jnp.int32)], axis=1)
 
-        # ---- 3. branch-free serve-two claims ----
+        # ---- 3. branch-free serve-N_SERVE claims ----
         # Branch-free: pl.when-gating the serve block measured SLOWER
         # (Mosaic branches stall the pipeline); idle iterations route every
-        # store to dummy scratch row 16 / dummy output row POOL instead.
+        # store to dummy scratch row _SUB / dummy output row POOL instead.
         # The whole serve machinery measures ~FREE in context (phase_cost
         # all2 1490 vs allserve 1464 ns/iter): it pipelines fully behind
-        # the vector phases, so serving two rows costs nothing extra.
+        # the vector phases, so serving N_SERVE rows costs nothing extra.
         def serve_one(avail):
             r_star = jnp.min(jnp.where(avail, sub_iota, _SUB))  # scalar
             serving = r_star < _SUB
-            dst = jnp.where(serving, r_star, _SUB)         # dummy row 16
+            dst = jnp.where(serving, r_star, _SUB)         # dummy row _SUB
             old = pkt_ids[dst]
             out_row = jnp.where(serving & (old >= 0), old, pool)
             # finished packet's results -> output (dummy row when idle)
@@ -222,8 +234,13 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
         for r in range(_SUB):
             v = xfer[r, 0]
             node_scr[r] = node_rows[v >> 16]
-            tri_scr[r] = tri_rows[v & 65535]
-            tri_scr2[r] = tri_rows[xfer[r, 64]]
+            tri_scrs[0][r] = tri_rows[v & 65535]
+            w = xfer[r, 64]
+            if leaf_pops == 2:
+                tri_scrs[1][r] = tri_rows[w]
+            else:
+                tri_scrs[1][r] = tri_rows[w >> 16]
+                tri_scrs[2][r] = tri_rows[w & 65535]
 
         # ---- vector-side claim effects ----
         served_m = jnp.zeros((_SUB, 1), jnp.bool_)
@@ -246,7 +263,6 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
         d_x, d_y, d_z = sd_x[0:_SUB], sd_y[0:_SUB], sd_z[0:_SUB]
         inv_x, inv_y, inv_z = si_x[0:_SUB], si_y[0:_SUB], si_z[0:_SUB]
         nrow = node_scr[:]
-        trow = tri_scr[:]
 
         # per-row dominant octant (rows are sorted coherent; recomputed
         # each iteration because claims swap rays in — cheaper than loading
@@ -274,8 +290,13 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
                                           jnp.maximum(t1y, t2y)),
                               jnp.maximum(t1z, t2z))
             hit = (far >= near) & (far >= 0.0)
-            t_entry = jnp.where(hit, jnp.maximum(near, 0.0), -1.0)
-            ok = hit & (t_entry <= bt)                 # fragment.glsl:261
+            # fragment.glsl:261's prune is `max(near, 0) <= closestT`; the
+            # clamp+select are redundant here: live rays always carry
+            # bt > 0 (hits need t > EPS; init is BIG or an earlier part's
+            # t) so near <= bt is equivalent, and dead rays carry
+            # bt = -BIG which no finite near reaches (|d| = 1 keeps the
+            # slab mins finite).
+            ok = hit & (near <= bt)
             anyj = jnp.any(ok, axis=1, keepdims=True)
             bits = bits | jnp.where(anyj, jnp.int32(1) << j, 0)
         bits = jnp.where(act_n_eff, bits, 0)
@@ -323,10 +344,10 @@ def _traverse_kernel(ox, oy, oz, dx, dy, dz, t0,
         stack_n[:] = sn_t
         stack_l[:] = sl_t
 
-        # ---- 7. leaf: 2 octets x 8 triangles, slot j at lanes
+        # ---- 7. leaf: ``leaf_pops`` octets x 8 triangles, slot j at lanes
         # [j*16, j*16+12) of each octet row ----
-        for trow_k, idx_k, act_k in ((trow, idx_l, act_l),
-                                     (tri_scr2[:], idx_l2, act_l2)):
+        for trow_k, idx_k, act_k in zip(
+                (s[:] for s in tri_scrs), idx_ls, act_ls):
             slot_base = idx_k * 8
             for j in range(8):
                 b = j * 16
@@ -382,9 +403,16 @@ def _on_tpu() -> bool:
     )
 
 
+LEAF_POPS = 2       # octets drained per iteration (2 or 3); the kernel
+                    # packs the 2nd+3rd octet indices into one i32, sound
+                    # while per-part octet rows stay under 2^15 (the 8 MB
+                    # table budget caps total rows at 16384)
+
+
 def raycast_subblock(scene, origin, direction, active=None,
                      interpret: bool | None = None,
-                     debug_iters: bool = False):
+                     debug_iters: bool = False,
+                     leaf_pops: int | None = None):
     """Nearest hit via the work-stealing sub-block kernel.
 
     Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
@@ -400,6 +428,8 @@ def raycast_subblock(scene, origin, direction, active=None,
         raise ValueError("scene has no sub-block tables (exceeded caps?)")
     if interpret is None:
         interpret = not _on_tpu()
+    if leaf_pops is None:
+        leaf_pops = LEAF_POPS
 
     parts = [(scene.p2_node_rows, scene.p2_tri_rows, scene.p2_remap)]
     parts += [tuple(p) for p in scene.p2_extra]
@@ -411,7 +441,7 @@ def raycast_subblock(scene, origin, direction, active=None,
         t_init = None if near is None else near.t
         pn, iters = _raycast_one_part(
             node_rows, tri_rows, remap, origin, direction, active,
-            t_init, interpret)
+            t_init, interpret, leaf_pops)
         pn = pn._replace(slot=pn.slot + slot_base)
         slot_base += int(remap.shape[0])
         if near is None:
@@ -434,7 +464,7 @@ def raycast_subblock(scene, origin, direction, active=None,
 
 
 def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
-                      active, t_init, interpret):
+                      active, t_init, interpret, leaf_pops=2):
     """One kernel launch over one part's tables; returns (Nearest, iters).
 
     ``t_init`` seeds the per-ray best t (BIG when None) so later parts
@@ -485,9 +515,15 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
+    if leaf_pops == 3 and Qr >= (1 << 15):
+        # octets 2+3 pack as hi<<16 | lo in one i32; unreachable through
+        # the 8 MB table budget (<= 16384 rows/part) but guard raw tables
+        leaf_pops = 2
+
     f32 = jnp.float32
     t, slot, u, v, iters = pl.pallas_call(
-        partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool),
+        partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool,
+                leaf_pops=leaf_pops),
         grid=(grid,),
         in_specs=[blk] * 7 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
         out_specs=[out_blk, out_blk, out_blk, out_blk, it_blk],
@@ -502,10 +538,9 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
             pltpu.VMEM((_SUB, STACK_N), jnp.int32),
             pltpu.VMEM((_SUB, STACK_L), jnp.int32),
             pltpu.VMEM((_SUB, _LANE), f32),           # node_scr
-            pltpu.VMEM((_SUB, _LANE), f32),           # tri_scr
-            pltpu.VMEM((_SUB, _LANE), f32),           # tri_scr2
-            pltpu.VMEM((_SUB, _LANE), jnp.int32),     # xfer
-        ] + [pltpu.VMEM((_SCR, _LANE), f32)] * 11     # rays + t0 + flag
+        ] + [pltpu.VMEM((_SUB, _LANE), f32)] * leaf_pops  # tri_scr[k]
+          + [pltpu.VMEM((_SUB, _LANE), jnp.int32)]    # xfer
+          + [pltpu.VMEM((_SCR, _LANE), f32)] * 11     # rays + t0 + flag
           + [pltpu.VMEM((_SCR, _LANE), f32),          # bt
              pltpu.VMEM((_SCR, _LANE), jnp.int32),    # bslot
              pltpu.VMEM((_SCR, _LANE), f32),          # bu

@@ -188,18 +188,24 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     )
 
 
+TABLE_BUDGET_BYTES = 7_864_320  # 7.5 MB
+"""Per-part sub-block table budget.  The 64-row kernel's double-buffered
+ray windows + scratch take ~8.2 MB of the 16 MB scoped VMEM at the
+512-packet pool in the WORST (eager) call context, so 8 MB tables OOM by
+~200 KB there — measured by tests/test_tpu_vmem.py, which compiles this
+exact context and keeps the budget honest across toolchain bumps."""
+
+
 def build_subblock_parts(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                          tri16: np.ndarray, method: str = "sah",
-                         budget_bytes: int = 8 * 1024 * 1024,
+                         budget_bytes: int = TABLE_BUDGET_BYTES,
                          max_parts: int = 16) -> tuple[SubblockTables, ...]:
     """Partitioned sub-block tables for scenes whose tables exceed the VMEM
     budget (the round-1 'cliff' — VERDICT item 6).
 
     Triangles are split spatially (recursive centroid-median halving along
     the largest axis) into the fewest parts whose per-part tables fit
-    ``budget_bytes`` (8 MB: the 64-row kernel's double-buffered ray
-    windows + scratch take ~7.5 MB of the 16 MB scoped VMEM at the
-    512-packet pool); each part is an independent sub-block BVH over the
+    ``budget_bytes``; each part is an independent sub-block BVH over the
     SAME global triangle index space (remap is rebased), so the traversal
     can chain parts with cross-part ``best_t`` pruning and a strict-``<``
     host combine.  Ray cost per part collapses to ~2 iterations when the
@@ -228,6 +234,8 @@ def build_subblock_parts(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 half = len(idx) // 2
                 nxt.append(idx[order[:half]])
                 nxt.append(idx[order[half:]])
+            if len(nxt) == len(parts_idx):
+                break  # every part < 16 tris: splitting can make no progress
             parts_idx = nxt
 
         try:

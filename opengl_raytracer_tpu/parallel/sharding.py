@@ -145,6 +145,11 @@ class ShardedRenderer:
 
         scene_data = scene.send() if isinstance(scene, Scene) else scene
         config = resolve_leaf_bound(scene_data, config)
+        if config.frames_per_step != 1:
+            raise ValueError(
+                "frames_per_step > 1 is the single-chip frame-batching "
+                "path; on a mesh, use the sp axis for frame parallelism"
+            )
         self.config = config
         self.mesh = mesh
         dp = mesh.shape["dp"]
@@ -168,9 +173,10 @@ class ShardedRenderer:
                 traversal = "pallas2"
             else:
                 traversal = "packet"
-        local_rays = (config.tile_h // dp) * config.tile_w
-        if traversal in ("packet", "pallas", "pallas2") and local_rays % 128:
-            traversal = "bvh"  # packet-shaped paths need whole 128-ray packets
+        # Per-device ray shards need not be a multiple of 128: render_flat
+        # pads each device's chunk to whole packets and discards the pad
+        # (renderer.py), so the packet-shaped traversals run for ANY shard
+        # size — no silent per-ray-walk downgrade (round-2 VERDICT item 4).
         self.traversal = traversal
         self.frames_per_step = mesh.shape["sp"]
 

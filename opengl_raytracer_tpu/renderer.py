@@ -119,7 +119,8 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
     seed = rng.warmup(seed, 3)
 
     u, v = pixel_uv(px, py, config.width, config.height)
-    d = ray_dirs(camera, u, v, config.width, config.height)
+    d = ray_dirs(camera, u, v, config.width, config.height,
+                 aspect=config.ray_aspect)
 
     # Anti-alias jitter (fragment.glsl:398-400).
     seed, r1 = rng.random_value(seed)
@@ -142,6 +143,7 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         rays_per_pixel=config.rays_per_pixel,
         lambertian=lambertian,
         reorder=reorder,
+        sort_window=config.sort_window,
     )
     return color
 
@@ -164,21 +166,35 @@ def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
         chunk = -(-chunk // PACKET) * PACKET  # round up to whole packets
     n_chunks = -(-R // chunk)
     pad = n_chunks * chunk - R
+
+    # frame_count may be per-ray (frames_per_step batching): chunk it along
+    # with the pixels so each chunk sees its rays' frame numbers.
+    frame_is_array = jnp.ndim(frame_count) > 0
     if pad:
         px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
         py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
+        if frame_is_array:
+            frame_count = jnp.concatenate(
+                [frame_count, jnp.zeros((pad,), frame_count.dtype)])
 
-    body = partial(
-        render_pixels, scene, config, camera, frame_count,
-        sky_brightness, jitter_amount, lambertian, raycast_fn=raycast_fn,
-        reorder=traversal in ("packet", "pallas", "pallas2"),
-    )
+    def body(px_c, py_c, frame_c):
+        return render_pixels(
+            scene, config, camera, frame_c, sky_brightness, jitter_amount,
+            lambertian, px_c, py_c, raycast_fn=raycast_fn,
+            reorder=traversal in ("packet", "pallas", "pallas2"),
+        )
 
     if n_chunks == 1:
-        colors = body(px, py)
+        colors = body(px, py, frame_count)
+    elif frame_is_array:
+        colors = jax.lax.map(
+            lambda xs: body(xs[0], xs[1], xs[2]),
+            (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk),
+             frame_count.reshape(n_chunks, chunk)),
+        ).reshape(-1, 3)
     else:
         colors = jax.lax.map(
-            lambda xs: body(xs[0], xs[1]),
+            lambda xs: body(xs[0], xs[1], frame_count),
             (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk)),
         ).reshape(-1, 3)
     return colors[:R]
@@ -223,9 +239,27 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     else:
         px, py = px.reshape(-1), py.reshape(-1)
 
-    colors = render_flat(scene, config, camera, frame_count, sky_brightness,
+    # Frame batching (frames_per_step = F > 1): replicate the tile's rays F
+    # times, seed copy s with frame number frame_count + s, and fold the
+    # SUM into the running mean with weight F.  Per-sample RNG streams are
+    # exactly the per-frame streams (seeding is (x, y, frameNumber),
+    # fragment.glsl:390), so one fused step converges F progressive frames
+    # while paying the sort / glue / dispatch fixed costs once.
+    F = config.frames_per_step
+    n_band = px.shape[0]
+    if F > 1:
+        px = jnp.tile(px, F)
+        py = jnp.tile(py, F)
+        frame_arr = (frame_count
+                     + jnp.repeat(jnp.arange(F, dtype=jnp.int32), n_band))
+    else:
+        frame_arr = frame_count
+
+    colors = render_flat(scene, config, camera, frame_arr, sky_brightness,
                          jitter_amount, lambertian, px, py, raycast_fn,
                          traversal)
+    if F > 1:
+        colors = colors.reshape(F, n_band, 3).sum(axis=0)
     if use_blocks:
         colors = (
             colors.reshape(th // _BLOCK_H, tw // _BLOCK_W, _BLOCK_H, _BLOCK_W, 3)
@@ -247,7 +281,7 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
 
     prev = jax.lax.dynamic_slice(accum, (row0, col0, 0), (th, tw, 3))
     fc = frame_count.astype(jnp.float32)
-    merged = jnp.where(mask_img, (prev * fc + tile_img) / (fc + 1.0), prev)
+    merged = jnp.where(mask_img, (prev * fc + tile_img) / (fc + F), prev)
     return jax.lax.dynamic_update_slice(accum, merged, (row0, col0, 0))
 
 
@@ -365,7 +399,7 @@ class Renderer:
             tile_y += 1
             if tile_y >= cfg.num_tiles_y:
                 tile_y = 0
-                frames += 1
+                frames += cfg.frames_per_step
         return RenderState(
             accum=accum,
             frame_count=frames,
@@ -387,8 +421,14 @@ class Renderer:
             )
         if state is None:
             state = self.init_state()
+        F = self.config.frames_per_step
+        if frames % F:
+            raise ValueError(
+                f"frames={frames} must be a multiple of frames_per_step={F} "
+                f"(each sweep converges {F} frames)"
+            )
         tiles = self.config.num_tiles_x * self.config.num_tiles_y
-        for _ in range(frames * tiles):
+        for _ in range((frames // F) * tiles):
             state = self.step(state, camera)
         return state
 

@@ -47,6 +47,16 @@ class RenderConfig:
         traversal otherwise.
     ray_chunk: rays processed per inner chunk (bounds peak memory; rounded
         to the pixel-row granularity internally). 0 = whole frame at once.
+    aspect: display aspect ratio for ray generation (reference main.py:137
+        uses sw/sh — the DISPLAY size); 0 = use width/height.
+    sort_window: reorder-sort window in rays (0 = sort the whole chunk);
+        windowed sorts cut the bitonic pass count ~2.5x at 8K windows and
+        stay bit-identical (rays never cross windows).
+    frames_per_step: progressive frames converged per tile step (F>1
+        batches F frames' sample streams into one fused render — the spp
+        batching strategy; per-sample RNG streams are the per-frame
+        streams, so the image matches F sequential steps to float
+        associativity).
 
     ``lambertian`` is only the DEFAULT for the render step's traced
     lambertian argument — toggling it at runtime does not recompile.
@@ -63,6 +73,18 @@ class RenderConfig:
     max_leaf_tris: int = 32
     traversal: str = "auto"
     ray_chunk: int = 0
+    aspect: float = 0.0
+    sort_window: int = 0
+    frames_per_step: int = 1
+
+    @property
+    def ray_aspect(self) -> float:
+        """Aspect ratio for ray generation.  The reference derives it from
+        the DISPLAY size (main.py:137: ``sw / sh``), not the render size;
+        0.0 (the default) means "no separate display" and falls back to
+        width/height — exactly equal under the reference's defaults, which
+        size the window from the same monitor aspect (main.py:470)."""
+        return self.aspect if self.aspect else self.width / self.height
 
     @property
     def n_bounces(self) -> int:

@@ -129,11 +129,13 @@ def raytrace(sc, origin, direction, seed, n_bounces, lambertian, sky_brightness)
 
 def render(sc: OracleScene, width, height, cam_pos, cam_right, cam_up, cam_forward,
            bounces, rays_per_pixel=1, jitter=0.001, lambertian=True,
-           sky_brightness=1.0, frame_number=0):
+           sky_brightness=1.0, frame_number=0, aspect=None):
     """Render one frame, top row first.  `bounces` is the user-facing count;
-    the loop runs bounces + 1 like the reference (main.py:186)."""
+    the loop runs bounces + 1 like the reference (main.py:186).  `aspect`
+    is the DISPLAY aspect (reference main.py:137); None = width/height."""
     fov = math.radians(90.0)
-    aspect = width / height
+    if aspect is None:
+        aspect = width / height
     dir_start = np.array([-fov / 2 * aspect, -fov / 2])
     step = np.array([fov * aspect, fov])
 

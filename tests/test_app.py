@@ -28,6 +28,24 @@ def test_headless_app_renders_and_saves(tmp_path):
     assert img.shape == (16, 16, 3)
 
 
+def test_headless_remainder_tiles_full_sweeps(tmp_path):
+    """The headless loop must run num_tiles_x * num_tiles_y steps per frame
+    (NOT tile_size**2): at tileSize=3 on 16px, tile_w = 5 so a sweep is 4x4
+    bands (round-2 VERDICT item 2).  Frame counts and the image must match
+    the untiled render exactly."""
+    tiled = App(window_size=(16, 16), bounces=1, tileSize=3,
+                scene=tiny_scene(), headless=True, max_frames=2,
+                output=str(tmp_path / "t.png"))
+    assert tiled.renderer.config.num_tiles_x == 4  # ceil(16 / (16//3))
+    assert tiled.state.frame_count == 2
+    assert tiled.state.tile_x == 0 and tiled.state.tile_y == 0
+
+    flat = App(window_size=(16, 16), bounces=1, tileSize=1,
+               scene=tiny_scene(), headless=True, max_frames=2,
+               output=str(tmp_path / "f.png"))
+    np.testing.assert_array_equal(tiled.image(), flat.image())
+
+
 def test_checkpoint_resume_bit_exact(tmp_path):
     path = str(tmp_path / "ck.npz")
     # 4 frames straight

@@ -44,13 +44,33 @@ def assert_golden(img, ref, outlier_frac=0.002):
     a precision artifact of the comparison, not an implementation
     difference, so up to ``outlier_frac`` of pixels may differ freely
     while everything else must match tightly.
+
+    Adversarial guard on the allowance (round-2 VERDICT weak item 6): a
+    real implementation bug (wrong material, shifted tile, bad traversal
+    region) produces CLUSTERED wrong pixels, while grazing-edge RNG
+    divergence produces isolated ones — so no outlier may have 3+ outlier
+    neighbors in its 3x3 neighborhood (a silhouette edge passing through
+    a pixel's neighborhood yields at most 2 collinear neighbors).
     """
     diff = np.abs(img - ref).max(axis=-1)
     n_out = int(diff.size * outlier_frac) + 1
     keep = diff <= np.partition(diff.ravel(), -n_out)[-n_out]
     masked_rmse = float(np.sqrt(np.mean((img[keep] - ref[keep]) ** 2)))
     assert masked_rmse < 1e-4, masked_rmse
-    assert (diff > 1e-3).mean() <= outlier_frac, (diff > 1e-3).mean()
+    out = diff > 1e-3
+    assert out.mean() <= outlier_frac, out.mean()
+    padded = np.pad(out, 1)
+    neigh = sum(
+        padded[1 + dy:padded.shape[0] - 1 + dy,
+               1 + dx:padded.shape[1] - 1 + dx]
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    )
+    clustered = out & (neigh >= 3)
+    assert clustered.sum() == 0, (
+        f"{clustered.sum()} outlier pixels form clusters at "
+        f"{np.argwhere(clustered)[:8].tolist()}"
+    )
 
 
 def run_both(objects, w, h, bounces, frames=1, spp=1, lambertian=True,
@@ -131,6 +151,43 @@ def test_config3_pallas2_oracle():
     ]
     img, ref = run_both(objs, 32, 32, bounces=2, traversal="pallas2")
     assert_golden(img, ref)
+
+
+def test_display_aspect_golden():
+    """window_size != screen_size: ray generation must use the DISPLAY
+    aspect (reference main.py:137 computes aspect = sw/sh and feeds it to
+    the dirStartX/xStep uniforms, main.py:166-170) — a real divergence
+    from the render aspect whenever the two differ (round-2 VERDICT
+    missing item 2).  The oracle is fed the display aspect directly."""
+    from opengl_raytracer_tpu.app import App
+
+    objs = [
+        Rect([3, 3, 0.2], [0, 0, 10], [0, 0, 0], color=[0.8, 0.3, 0.2],
+             roughness=1.0),
+        Rect([8, 0.2, 8], [0, -2, 8], [0, 0, 0], color=[0.6, 0.6, 0.65],
+             roughness=1.0),
+    ]
+    w, h = 48, 32
+    sw, sh = 96, 40  # display aspect 2.4 vs render aspect 1.5
+    app = App(window_size=(w, h), screen_size=(sw, sh), bounces=1,
+              scene=Scene(objs, max_leaf_tris=16), headless=True,
+              run=False)
+    assert app.config.aspect == sw / sh
+    cam = make_camera(*CAM)
+    app.state = app.renderer.step(app.state, cam)
+    img = app.image()
+
+    cam_pos, cam_dir = CAM
+    right, forward, up = camera_basis(cam_dir)
+    osc = oracle.OracleScene.from_scene(Scene(objs, max_leaf_tris=16))
+    ref = oracle.render(osc, w, h, np.array(cam_pos), right, up, forward,
+                        bounces=1, aspect=sw / sh)
+    assert_golden(img, ref)
+
+    # And the default (screen_size=None) stays on the render aspect.
+    ref_default = oracle.render(osc, w, h, np.array(cam_pos), right, up,
+                                forward, bounces=1)
+    assert rmse(ref, ref_default) > 1e-3  # the aspects genuinely diverge
 
 
 def test_config2_non_lambertian_golden():

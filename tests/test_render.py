@@ -231,3 +231,37 @@ def test_effective_max_leaf_covers_big_leaves():
     img = r.image(r.render(camera=make_camera(pos, cam_dir), frames=1))
     img_ref, _, _ = run_jax(objs, w=16, h=16, bounces=1, traversal="brute")
     assert rmse(img, img_ref) < 1e-6
+
+
+def test_frames_per_step_matches_sequential():
+    """Frame batching (frames_per_step=4): one fused step converges 4
+    progressive frames with the per-frame RNG streams, so the image
+    matches 4 sequential steps to float associativity (the running mean
+    regroups as (f0+..+f3)/4)."""
+    objs = cornellish_objects()
+    img4, _, _ = run_jax(objs, frames=4, traversal="bvh", frames_per_step=4)
+    img1, _, _ = run_jax(objs, frames=4, traversal="bvh")
+    assert rmse(img4, img1) < 1e-6
+
+    with pytest.raises(ValueError):
+        run_jax(objs, frames=3, traversal="bvh", frames_per_step=2)
+
+
+def test_frames_per_step_with_tiles_and_sort_window():
+    """frames_per_step composes with remainder tiles and the windowed
+    reorder sort (packet path, sort_window smaller than the batch)."""
+    objs = cornellish_objects()
+    img, _, _ = run_jax(objs, frames=2, traversal="packet", frames_per_step=2,
+                        tile_size=3, sort_window=128)
+    ref, _, _ = run_jax(objs, frames=2, traversal="packet")
+    assert rmse(img, ref) < 1e-6
+
+
+def test_sort_window_bit_identical():
+    """Windowed reorder sorts are order-restoring: images are identical to
+    the global-sort render."""
+    objs = cornellish_objects()
+    a, _, _ = run_jax(objs, frames=1, bounces=3, traversal="packet",
+                      sort_window=64)
+    b, _, _ = run_jax(objs, frames=1, bounces=3, traversal="packet")
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,139 @@
+"""VMEM-budget regression guard on REAL TPU hardware (round-2 VERDICT
+item 7).
+
+The sub-block kernel's pool sizes are empirically tuned against the 16 MB
+scoped-VMEM budget: POOL_BIG=640 "fits the worst observed context" while
+768/1024 OOM eagerly, and the 8 MB table partition budget
+(ops/wide2.build_subblock_parts) is tuned to match.  Scoped-VMEM
+accounting is CONTEXT-DEPENDENT (grid-indexed windows are double-buffered
+and eager call sites co-schedule pad/copy ops into the kernel's scope), so
+a jaxlib/Mosaic bump can silently flip these settings from fits to OOM.
+This test compiles the two worst-case contexts so such a bump breaks
+loudly:
+
+1. POOL_BIG (640-packet) pool with part tables at the top of the big-pool
+   band (just under POOL_BIG_TABLE_BYTES), called EAGERLY;
+2. POOL (512-packet) pool with part tables near the partition budget
+   (wide2.TABLE_BUDGET_BYTES), called eagerly.  This case is what set the
+   budget: 8 MB tables measured a 204 KB scoped-VMEM overflow (16.20M vs
+   the 16M limit) in exactly this context.
+
+Runs compiled (non-interpret) in a subprocess without the suite's CPU
+override, like test_tpu_golden; skips cleanly without a TPU.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    bool(os.environ.get("OGLRT_SKIP_TPU_TESTS")),
+    reason="TPU tests disabled",
+)
+
+_CHILD = r"""
+import json, sys, types
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+devs = jax.devices()
+if not any(d.platform in ("tpu", "axon") for d in devs):
+    print(json.dumps({"skip": f"no TPU device: {devs}"}))
+    sys.exit(0)
+
+from opengl_raytracer_tpu.ops.subblock_traversal import (
+    POOL_BIG, POOL_BIG_TABLE_BYTES, raycast_subblock,
+)
+from opengl_raytracer_tpu.ops.wide2 import TABLE_BUDGET_BYTES, build_subblock
+
+
+def make_soup(T, seed=0):
+    # Random triangle soup in a [0, 40)^3 box: small tris so the SAH build
+    # produces a realistic leaf occupancy.
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0.0, 40.0, (T, 3)).astype(np.float32)
+    b = a + rng.uniform(0.1, 0.8, (T, 3)).astype(np.float32)
+    c = a + rng.uniform(0.1, 0.8, (T, 3)).astype(np.float32)
+    return a, b, c
+
+
+def tri16_of(v0, v1, v2):
+    e1 = v1 - v0
+    e2 = v2 - v0
+    face = np.cross(e1, e2)
+    t16 = np.zeros((v0.shape[0], 16), np.float32)
+    t16[:, 0:3] = v0
+    t16[:, 3:6] = e1
+    t16[:, 6:9] = e2
+    t16[:, 9:12] = face
+    return t16
+
+
+def tables_for_target(target_bytes, lo_frac):
+    # One calibration build, then scale T linearly into the target band.
+    T0 = 20000
+    v0, v1, v2 = make_soup(T0)
+    t = build_subblock(v0, v1, v2, tri16_of(v0, v1, v2))
+    b0 = t.node_rows.nbytes + t.tri_rows.nbytes
+    T = int(T0 * target_bytes * 0.97 / b0)
+    for _ in range(6):
+        v0, v1, v2 = make_soup(T)
+        t = build_subblock(v0, v1, v2, tri16_of(v0, v1, v2))
+        b = t.node_rows.nbytes + t.tri_rows.nbytes
+        if lo_frac * target_bytes <= b <= target_bytes:
+            return t, b
+        T = int(T * target_bytes * 0.97 / b)
+    raise RuntimeError(f"could not hit table band: {b} vs {target_bytes}")
+
+
+def run_case(name, target_bytes, lo_frac, want_pool):
+    t, nbytes = tables_for_target(target_bytes, lo_frac)
+    scene = types.SimpleNamespace(
+        p2_node_rows=jnp.asarray(t.node_rows),
+        p2_tri_rows=jnp.asarray(t.tri_rows),
+        p2_remap=jnp.asarray(t.remap),
+        p2_extra=(),
+    )
+    R = want_pool * 128
+    rng = np.random.default_rng(1)
+    origin = jnp.asarray(rng.uniform(-5, 45, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    direction = jnp.asarray(d)
+    # EAGER call site: pads/copies co-scheduled into the kernel scope —
+    # the worst observed VMEM accounting context.
+    near = raycast_subblock(scene, origin, direction)
+    tvals = np.asarray(near.t)
+    assert np.isfinite(tvals).all(), name
+    return {"name": name, "table_bytes": nbytes, "rays": R,
+            "hit_frac": float((tvals < 1e29).mean())}
+
+out = []
+out.append(run_case("pool_big_max_tables", POOL_BIG_TABLE_BYTES, 0.88,
+                    POOL_BIG))
+out.append(run_case("pool_std_max_tables", TABLE_BUDGET_BYTES, 0.88, 512))
+print(json.dumps({"ok": out}))
+"""
+
+
+def test_vmem_worst_case_contexts_compile(tmp_path):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # undo the suite's CPU override
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD],
+        capture_output=True, text=True, timeout=1500, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    res = json.loads(line)
+    if "skip" in res:
+        pytest.skip(res["skip"])
+    cases = {c["name"]: c for c in res["ok"]}
+    assert cases["pool_big_max_tables"]["hit_frac"] > 0.2
+    assert cases["pool_std_max_tables"]["hit_frac"] > 0.2
