@@ -1,12 +1,16 @@
-"""Pool-size sweep on minidragon tables (run on TPU, under jit).
+"""128-row kernel instance under the whole-batch pool (run on TPU).
 
-Round-2 measured the end-of-pool drain tail at ~35% overhead (593
-sub-iters/step vs the 440 ideal at 8 packets/row) and pool 1024 a further
--11% on the bounce proxy, but shipped POOL_BIG=640 because 768+ OOMed
-scoped VMEM in the worst (eager) call context.  Production raycasts run
-under jit, where the accounting is leaner — this measures how far the
-pool can go there with real (minidragon ~3 MB) tables, to justify a
-table-size-tiered pool.
+Round 2 stopped at 64 rows because 128 exceeded the 16 MB scoped-VMEM
+budget with the then-current window accounting; with big_pools the
+windows live in general VMEM and scoped holds only stacks/scratch
+(~2x 200 KB at 128 rows), so 128 rows may now fit — doubling the
+spine amortization (8->64 rows measured 213->171.5 ms on the bounce
+proxy).  N_SERVE scales with rows (serve demand ~rows/13).
+
+RESULT (TPU v5e, 2026-08-17): FLAT — 64/96/128 rows measured
+132.0 / 131.3 / 133.5 ms on the 2M-ray sorted bounce proxy with the
+whole-batch pool.  The serial spine is fully amortized at 64 rows;
+keep _SUB=64 (don't revisit).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
@@ -33,16 +37,12 @@ def bench(label, f, *args, reps=3):
         t0 = time.time(); r = f(*args); sync(r.t)
         best = min(best, time.time() - t0)
     print(f"{label}: {best*1000:.1f} ms", flush=True)
-    return best
+    return r
 
 
 def main():
     sc = Scene(default_objects('stanford_minidragon'))
     data = sc.send()
-    tb = data.p2_node_rows.nbytes + data.p2_tri_rows.nbytes
-    print(f"tables: {tb/1e6:.2f} MB "
-          f"({data.p2_node_rows.shape[0]} node rows, "
-          f"{data.p2_tri_rows.shape[0]} tri rows)", flush=True)
     cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
     o, d = primary_rays(1920, 1080, cam)
     R = o.shape[0] // 128 * 128
@@ -58,31 +58,31 @@ def main():
     perm = jnp.argsort(key)
     ob, db = ob[perm], db[perm]
 
-    import sys as _sys
-    pools = (640, 768, 1024, 1280, 2048)
-    if len(_sys.argv) > 1:
-        pools = tuple(int(x) for x in _sys.argv[1:])
     ref_t = None
-    for pool in pools:
-        sbt.POOL_BIG = pool
-        sbt.POOL_BIG_TABLE_BYTES = 64 * 1024 * 1024  # force the tier
+    for rows, n_serve in ((64, 5), (96, 8), (128, 10)):
+        sbt._SUB = rows
+        sbt._SCR = rows + 8
+        sbt.N_SERVE = n_serve
+        tag = f"rows {rows}"
         try:
             f = jax.jit(partial(
-                lambda a, b: sbt.raycast_subblock(data, a, b)))
+                lambda a, b: sbt.raycast_subblock(data, a, b,
+                                                  big_pools=True)))
             nb = f(ob[:65536], db[:65536])
             tvals = np.asarray(nb.t)
             if ref_t is None:
                 ref_t = tvals
             else:
-                bad = np.abs(ref_t - tvals) > 1e-5 * np.maximum(1, np.abs(ref_t))
-                assert bad.sum() == 0, f"pool {pool} parity {bad.sum()}"
-            bench(f"pool {pool} primary 2M", f, o, d)
-            bench(f"pool {pool} bounce  2M", f, ob, db)
+                bad = np.abs(ref_t - tvals) > 1e-5 * np.maximum(
+                    1, np.abs(ref_t))
+                assert bad.sum() == 0, f"{tag} parity {bad.sum()}"
+                print(f"{tag} parity ok", flush=True)
+            bench(f"{tag} primary 2M", f, o, d)
+            bench(f"{tag} bounce  2M", f, ob, db)
         except Exception as e:
-            print(f"pool {pool}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
-    sbt.POOL_BIG = 640
-    sbt.POOL_BIG_TABLE_BYTES = 4 * 1024 * 1024
+            print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+    sbt._SUB, sbt._SCR, sbt.N_SERVE = 64, 72, 5
 
 
 if __name__ == "__main__":

@@ -93,6 +93,20 @@ POOL_BIG = 640      # used when a part's tables fit the extra VMEM ray
                     # OOMed at 19.7 MB eager; 768 OOMed at 16.96 MB).
                     # 640 measures ~15.5 MB in the worst context.
 POOL_BIG_TABLE_BYTES = 4 * 1024 * 1024
+POOL_MAX = 16384    # pool cap under ``big_pools`` (jit-only).  Bigger
+                    # pools shrink the end-of-pool drain tail: 2M-ray
+                    # bounce proxy measured 166.7 (pool 640) -> 137.2
+                    # (4096) -> 135.2 (8192) -> 132.0 ms (16384, whole
+                    # batch; experiments/pool_sweep.py).  Whole-batch
+                    # pools put the multi-MB windows (and in some fusion
+                    # contexts the output arrays) into Mosaic's scoped
+                    # VMEM, whose default 16 MB guard they exceed — the
+                    # kernel raises the guard via CompilerParams
+                    # (vmem_limit_bytes) toward the physical budget, and
+                    # tests/test_tpu_vmem.py compiles the worst-case
+                    # contexts against the real limit.  Eager call sites
+                    # keep POOL/POOL_BIG (big_pools is an opt-in from
+                    # always-jitted callers).
 STACK_N = 128       # per-row node stack (lanes).  64 lanes would
                     # cover any legal depth, but measured 11%
                     # SLOWER: sub-128-lane tiles half-fill the
@@ -274,7 +288,7 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         )
 
         # ---- 5. expand: 8 children, slot j at lanes [j*6, j*6+6) ----
-        bits = jnp.zeros((_SUB, 1), jnp.int32)
+        bit_terms = []
         for j in range(8):
             b = j * 6
             t1x = (nrow[:, b + 0:b + 1] - o_x) * inv_x
@@ -298,43 +312,56 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
             # slab mins finite).
             ok = hit & (near <= bt)
             anyj = jnp.any(ok, axis=1, keepdims=True)
-            bits = bits | jnp.where(anyj, jnp.int32(1) << j, 0)
-        bits = jnp.where(act_n_eff, bits, 0)
+            bit_terms.append(jnp.where(anyj, jnp.int32(1) << j, 0))
+        # disjoint bit positions: tree-OR instead of an 8-deep serial chain
+        while len(bit_terms) > 1:
+            bit_terms = [bit_terms[k] | bit_terms[k + 1]
+                         for k in range(0, len(bit_terms), 2)]
+        bits = jnp.where(act_n_eff, bit_terms[0], 0)
 
         # ---- 6. push: far-first order block for this row's octant ----
         # The naive form (8 sequential one-hot writes, each advancing the
         # stack pointer) serially chains 16 full-stack-tile selects and
-        # measured 401 ns/iter — the largest phase.  Instead: compute every
-        # rank's push flag and position first (cheap (8,1)/(8,8) math), then
-        # OR the 8 independent one-hot contributions together as a balanced
-        # tree, touching each stack tile once.
+        # measured 401 ns/iter — the largest phase.  The per-rank flag and
+        # position math is LANE-PARALLEL (64,8) work: the serial-chain form
+        # (~10 (64,1) ops per rank, an 8-deep dependency) measured ~3x over
+        # the issue-slot model because every (64,1) op still costs a full
+        # 8-vreg issue at 1/128 lane utilization.  Prefix positions come
+        # from a log2(8)-step shifted-add cumsum at static lane shifts.
         ordb = jnp.zeros((_SUB, 8), jnp.float32)
         for o in range(8):
             ordb = ordb + jnp.where(
                 octant == o, nrow[:, ORD0 + o * 8:ORD0 + o * 8 + 8], 0.0)
-        pos_n, pos_l = spn1, spl1
-        ents, pns, plfs, posns, posls = [], [], [], [], []
-        for i in range(8):
-            pk = ordb[:, i:i + 1].astype(jnp.int32)
-            ent = pk >> 3
-            sl = pk & 7
-            ok = (((bits >> sl) & 1) != 0) & (ent != EMPTY_PACKED)
-            pn = ok & (ent >= 0) & (pos_n < STACK_N)
-            plf = ok & (ent < 0) & (pos_l < STACK_L)
-            ents.append(ent)
-            pns.append(pn)
-            plfs.append(plf)
-            posns.append(pos_n)
-            posls.append(pos_l)
-            pos_n = pos_n + pn.astype(jnp.int32)
-            pos_l = pos_l + plf.astype(jnp.int32)
+        pkb = ordb.astype(jnp.int32)                   # (64,8) packed ranks
+        entb = pkb >> 3
+        slb = pkb & 7
+        okb = (((bits >> slb) & 1) != 0) & (entb != EMPTY_PACKED)
+        isn = (okb & (entb >= 0)).astype(jnp.int32)
+        isl = (okb & (entb < 0)).astype(jnp.int32)
+        # inclusive prefix along the 8 rank lanes (zero-fill shifts)
+        cn, cl = isn, isl
+        for sh in (1, 2, 4):
+            z = jnp.zeros((_SUB, sh), jnp.int32)
+            cn = cn + jnp.concatenate([z, cn[:, :8 - sh]], axis=1)
+            cl = cl + jnp.concatenate([z, cl[:, :8 - sh]], axis=1)
+        posn_b = spn1 + cn - isn                       # exclusive prefix
+        posl_b = spl1 + cl - isl
+        # Overflow gating matches the serial chain exactly: the prefix is
+        # monotone, so once a rank's position reaches the cap every later
+        # rank's does too — the pushed set and positions are identical.
+        pnb = (isn > 0) & (posn_b < STACK_N)
+        plb = (isl > 0) & (posl_b < STACK_L)
+        pos_n = spn1 + jnp.sum(pnb.astype(jnp.int32), axis=1, keepdims=True)
+        pos_l = spl1 + jnp.sum(plb.astype(jnp.int32), axis=1, keepdims=True)
 
         # Positions are strictly increasing per row, so the one-hot masks
         # are disjoint: sum-combine is exact.  Each term is independent —
         # the adds reduce as a tree instead of a serial select chain.
-        dn = [jnp.where((lane_n == posns[i]) & pns[i], ents[i] - sn_t, 0)
+        dn = [jnp.where((lane_n == posn_b[:, i:i + 1]) & pnb[:, i:i + 1],
+                        entb[:, i:i + 1] - sn_t, 0)
               for i in range(8)]
-        dl = [jnp.where((lane_l == posls[i]) & plfs[i], ents[i] - sl_t, 0)
+        dl = [jnp.where((lane_l == posl_b[:, i:i + 1]) & plb[:, i:i + 1],
+                        entb[:, i:i + 1] - sl_t, 0)
               for i in range(8)]
         while len(dn) > 1:
             dn = [dn[k] + dn[k + 1] for k in range(0, len(dn), 2)]
@@ -412,7 +439,8 @@ LEAF_POPS = 2       # octets drained per iteration (2 or 3); the kernel
 def raycast_subblock(scene, origin, direction, active=None,
                      interpret: bool | None = None,
                      debug_iters: bool = False,
-                     leaf_pops: int | None = None):
+                     leaf_pops: int | None = None,
+                     big_pools: bool = False):
     """Nearest hit via the work-stealing sub-block kernel.
 
     Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
@@ -420,6 +448,10 @@ def raycast_subblock(scene, origin, direction, active=None,
     multiple of 128.  Multi-part scenes chain one kernel call per part,
     feeding each part the running best t so its traversal prunes against
     hits found in earlier parts.
+
+    ``big_pools=True`` sizes the packet pool to the whole batch (capped at
+    POOL_MAX), which minimizes the end-of-pool drain tail; it is ONLY safe
+    under jit (see POOL_MAX) and is set by the renderer's raycast binding.
     """
     R = origin.shape[0]
     if R % _LANE:
@@ -441,7 +473,7 @@ def raycast_subblock(scene, origin, direction, active=None,
         t_init = None if near is None else near.t
         pn, iters = _raycast_one_part(
             node_rows, tri_rows, remap, origin, direction, active,
-            t_init, interpret, leaf_pops)
+            t_init, interpret, leaf_pops, big_pools)
         pn = pn._replace(slot=pn.slot + slot_base)
         slot_base += int(remap.shape[0])
         if near is None:
@@ -464,7 +496,8 @@ def raycast_subblock(scene, origin, direction, active=None,
 
 
 def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
-                      active, t_init, interpret, leaf_pops=2):
+                      active, t_init, interpret, leaf_pops=2,
+                      big_pools=False):
     """One kernel launch over one part's tables; returns (Nearest, iters).
 
     ``t_init`` seeds the per-ray best t (BIG when None) so later parts
@@ -475,10 +508,16 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     R = origin.shape[0]
     P = R // _LANE
     table_bytes = node_rows.nbytes + tri_rows.nbytes
-    pool = POOL_BIG if table_bytes <= POOL_BIG_TABLE_BYTES else POOL
-    # small ray counts (tests, small tiles) need no giant pool: shrink to
-    # the padded packet count so interpret mode and tiny frames stay fast
-    pool = min(pool, max(16, -(-P // 8) * 8))
+    if big_pools and not interpret:
+        # As much of the batch per pool as the scoped budget allows
+        # (drain tail once per grid step; see POOL_MAX).
+        pool = min(POOL_MAX, max(16, -(-P // 8) * 8))
+    else:
+        pool = POOL_BIG if table_bytes <= POOL_BIG_TABLE_BYTES else POOL
+        # small ray counts (tests, small tiles) need no giant pool: shrink
+        # to the padded packet count so interpret mode and tiny frames
+        # stay fast
+        pool = min(pool, max(16, -(-P // 8) * 8))
     outr = pool + 8
     pad_p = (-P) % pool
     Pp = P + pad_p
@@ -546,6 +585,14 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
              pltpu.VMEM((_SCR, _LANE), f32),          # bu
              pltpu.VMEM((_SCR, _LANE), f32)]          # bv
           + [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((_SCR,), jnp.int32)],
+        # Raise Mosaic's scoped-VMEM guard (default 16 MB) toward the
+        # physical budget: big pools put multi-MB in/out windows (and, in
+        # some fusion contexts, the stacked output arrays) into scoped
+        # space, which is a soft compiler guard — the hard limit is the
+        # chip's real VMEM, and tests/test_tpu_vmem.py compiles the
+        # worst-case contexts against it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, t0,
       node_rows, tri_rows)

@@ -73,46 +73,139 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     bvh = build_bvh(v0, v1, v2, LEAF_TRIS, method=method)
     N = bvh.num_nodes
     is_leaf = bvh.node_count > 0
-    leaf_ids = np.nonzero(is_leaf)[0]
-    Q = len(leaf_ids)
-    if Q >= MAX_OCTETS:
-        raise ValueError(f"scene has {Q} leaf octets; sub-block kernel caps "
-                         f"at {MAX_OCTETS} (use the packet traversal)")
 
-    # octet id per binary leaf
-    leaf_octet = np.zeros(N, np.int64)
-    leaf_octet[leaf_ids] = np.arange(Q)
+    # --- 8-wide collapse with LEAF RE-CHUNKING ---
+    # The plain collapse ("expand the internal slot with the largest
+    # subtree until 8 slots") stalls once every slot is a leaf: measured on
+    # minidragon it left wide nodes averaging 4.0/8 children (690 of 1624
+    # nodes had just two) and octets 5.6/8 full — the kernel's fixed
+    # 8-slot expand and 8-tri leaf phases then computed on ~30-50%
+    # padding.  Binary leaves can't pair-merge (siblings always sum over
+    # LEAF_TRIS — a subtree that small would already be one leaf), so
+    # densification RE-CHUNKS instead: a wide node's leaf slots pool their
+    # triangles, order them along the pool's longest axis, and split into
+    # the MINIMAL ceil(total/8) balanced consecutive chunks — each chunk
+    # one child slot / one octet with a bbox recomputed from its own
+    # triangles.  Re-chunking (a) frees slots mid-collapse so internal
+    # subtrees keep expanding (fewer, fuller wide nodes -> fewer node
+    # pops), and (b) fills octets (fewer leaf pushes/pops).  Correctness
+    # is unaffected: every triangle stays inside its chunk's bbox, so
+    # every intersection is still found; chunk bboxes may overlap more
+    # than the binary leaves' did, costing occasional extra leaf pops —
+    # measured well under the pop savings (experiments/leaffill.py).
+    tri_lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    tri_cent = ((v0 + v1 + v2) / 3.0).astype(np.float32)
 
-    Qp = max(-(-Q // 8) * 8, 8)
-    remap = np.zeros(Qp * 8, np.int64)
-    tri_rows16 = np.zeros((Qp * 8, 16), np.float32)
-    for q, b in enumerate(leaf_ids):
-        first = int(bvh.node_first[b])
-        cnt = int(bvh.node_count[b])
-        ids = bvh.perm[first:first + cnt]  # indices into the caller's arrays
-        remap[q * 8:q * 8 + cnt] = ids
-        tri_rows16[q * 8:q * 8 + cnt] = tri16[ids]
-    tri_rows = tri_rows16.reshape(Qp, 128)
-
-    # --- 8-wide collapse (same rule as ops/wide_bvh.collapse_wide:
-    # repeatedly expand the internal slot with the largest subtree) ---
     span = np.minimum(bvh.node_miss, N) - np.arange(N)
-    children: list[list[int]] = []
+    children: list[list] = []  # slot: int b (internal) | np.ndarray tri ids
     wide_of: dict[int, int] = {}
 
+    def _leaf_ids(b: int) -> np.ndarray:
+        first = int(bvh.node_first[b])
+        return bvh.perm[first:first + int(bvh.node_count[b])]
+
+    def _split_chunks(ids: np.ndarray, out: list) -> None:
+        """Recursive median split of a triangle pool into ceil(n/8) chunks
+        of <= 8 — kd-style splits keep chunk bboxes compact (a single-axis
+        sort-and-slice interleaves the other two axes and the resulting
+        bbox overlap paid back the pop savings on hardware)."""
+        n = len(ids)
+        if n <= LEAF_TRIS:
+            out.append(ids)
+            return
+        k = -(-n // LEAF_TRIS)
+        k1 = (k + 1) // 2
+        m = min(k1 * LEAF_TRIS, n - 1)
+        c = tri_cent[ids]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        part = np.argsort(c[:, axis], kind="stable")
+        _split_chunks(ids[part[:m]], out)
+        _split_chunks(ids[part[m:]], out)
+
+    def _rechunk(slots: list) -> list | None:
+        """Re-pack the leaf slots into the minimal number of octet groups;
+        None when that doesn't free any slot."""
+        lk = [k for k, s in enumerate(slots) if isinstance(s, np.ndarray)]
+        if len(lk) < 2:
+            return None
+        all_ids = np.concatenate([slots[k] for k in lk])
+        n_chunks = -(-len(all_ids) // LEAF_TRIS)
+        if n_chunks >= len(lk):
+            return None
+        out = [s for k, s in enumerate(slots) if k not in lk]
+        _split_chunks(all_ids, out)
+        return out
+
+    # Minimal-node-count collapse by dynamic programming (in the spirit of
+    # Ylitie et al.'s wide-BVH collapse): h[b][s] = fewest wide nodes that
+    # represent binary subtree b as exactly s child slots of its parent
+    # (s=1 may wrap b in a wide node of its own; s>=2 splits b's children
+    # across the slots with no node for b).  The greedy largest-subtree
+    # expansion measured 1572 wide nodes / 3.6-of-8 children on minidragon
+    # where this DP yields near the ceil(groups/7) packing bound — node
+    # pops per ray drop with the node count.  Computed iteratively in
+    # post-order (the binary tree can be deeper than Python's recursion
+    # limit on degenerate scenes).
+    INF = 1 << 30
+    left_of = np.arange(N) + 1
+    right_of = np.minimum(bvh.node_miss[np.minimum(left_of, N - 1)], N - 1)
+    h = np.full((N, WIDTH + 1), INF, np.int64)
+    order = []  # post-order of internal nodes
+    st = [0]
+    while st:
+        b = st.pop()
+        if is_leaf[b]:
+            h[b, 1] = 0
+            continue
+        order.append(b)
+        st.append(int(left_of[b]))
+        st.append(int(right_of[b]))
+    split_of = np.zeros((N, WIDTH + 1), np.int64)
+    for b in reversed(order):
+        hl, hr = h[int(left_of[b])], h[int(right_of[b])]
+        for s in range(2, WIDTH + 1):
+            best, arg = INF, 0
+            for s1 in range(1, s):
+                c = hl[s1] + hr[s - s1]
+                if c < best:
+                    best, arg = c, s1
+            h[b, s] = best
+            split_of[b, s] = arg
+        root_cost = 1 + int(h[b, 2:WIDTH + 1].min())
+        if root_cost < h[b, 1]:
+            h[b, 1] = root_cost
+            split_of[b, 1] = 0  # marker: s=1 means "own wide node"
+
+    def _frontier(b: int, s: int, out: list) -> None:
+        """Expand binary node b into s parent slots per the DP tables."""
+        if is_leaf[b]:
+            out.append(_leaf_ids(b))
+            return
+        if s == 1:
+            out.append(int(b))  # its own wide node (made lazily)
+            return
+        s1 = int(split_of[b, s])
+        _frontier(int(left_of[b]), s1, out)
+        _frontier(int(right_of[b]), s - s1, out)
+
     def make_wide(root: int) -> int:
-        slots = [int(root)]
-        while len(slots) < WIDTH:
-            best, best_size = -1, 0
-            for k, b in enumerate(slots):
-                if not is_leaf[b] and span[b] > best_size:
-                    best, best_size = k, int(span[b])
-            if best < 0:
-                break
-            b = slots.pop(best)
-            left = b + 1
-            right = int(bvh.node_miss[left])
-            slots.extend([left, right])
+        """Emit the wide node for binary subtree ``root`` using its optimal
+        frontier; leaf slots are then re-chunked into minimal octets."""
+        slots: list = []
+        if is_leaf[root]:
+            slots.append(_leaf_ids(root))
+        else:
+            # ties prefer the LARGER slot count: same node total, but more
+            # direct children = tighter per-child culling and less depth
+            vals = h[root, 2:WIDTH + 1]
+            s_best = WIDTH - int(np.argmin(vals[::-1]))
+            _frontier(int(left_of[root]), int(split_of[root, s_best]), slots)
+            _frontier(int(right_of[root]),
+                      s_best - int(split_of[root, s_best]), slots)
+        packed = _rechunk(slots)
+        if packed is not None:
+            slots = packed
         children.append(slots)
         return len(children) - 1
 
@@ -125,12 +218,34 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         w = queue[qi]
         qi += 1
         for b in children[w]:
-            if not is_leaf[b]:
+            if not isinstance(b, np.ndarray):
                 cw = make_wide(b)
                 wide_of[b] = cw
                 depth_of[cw] = depth_of[w] + 1
                 max_depth = max(max_depth, depth_of[cw])
                 queue.append(cw)
+
+    # --- octet assembly from the re-chunked leaf groups ---
+    groups: list[np.ndarray] = []
+    group_octet: dict[int, int] = {}  # id(group array) -> octet index
+    for slots in children:
+        for s in slots:
+            if isinstance(s, np.ndarray):
+                group_octet[id(s)] = len(groups)
+                groups.append(s)
+    Q = len(groups)
+    if Q >= MAX_OCTETS:
+        raise ValueError(f"scene has {Q} leaf octets; sub-block kernel caps "
+                         f"at {MAX_OCTETS} (use the packet traversal)")
+
+    Qp = max(-(-Q // 8) * 8, 8)
+    remap = np.zeros(Qp * 8, np.int64)
+    tri_rows16 = np.zeros((Qp * 8, 16), np.float32)
+    for q, ids in enumerate(groups):
+        cnt = len(ids)
+        remap[q * 8:q * 8 + cnt] = ids
+        tri_rows16[q * 8:q * 8 + cnt] = tri16[ids]
+    tri_rows = tri_rows16.reshape(Qp, 128)
 
     W = len(children)
     if W >= MAX_WIDE_NODES:
@@ -156,11 +271,18 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     cmax = np.full((W, WIDTH, 3), -_BIG, np.float32)
     for w, slots in enumerate(children):
         for j, b in enumerate(slots):
-            cmin[w, j] = bvh.node_min[b]
-            cmax[w, j] = bvh.node_max[b]
-            rows[w, j * 6:j * 6 + 3] = bvh.node_min[b]
-            rows[w, j * 6 + 3:j * 6 + 6] = bvh.node_max[b]
-            entry[w, j] = (-leaf_octet[b] - 1) if is_leaf[b] else wide_of[b]
+            if isinstance(b, np.ndarray):  # leaf group -> one octet; bbox
+                mn = tri_lo[b].min(axis=0)  # recomputed from its own tris
+                mx = tri_hi[b].max(axis=0)
+                ent = -group_octet[id(b)] - 1
+            else:
+                mn, mx = bvh.node_min[b], bvh.node_max[b]
+                ent = wide_of[b]
+            cmin[w, j] = mn
+            cmax[w, j] = mx
+            rows[w, j * 6:j * 6 + 3] = mn
+            rows[w, j * 6 + 3:j * 6 + 6] = mx
+            entry[w, j] = ent
 
     # per-octant far-first orders -> packed floats in lanes ORD0..ORD0+64
     centroids = (cmin + cmax) * 0.5  # (W, 8, 3)

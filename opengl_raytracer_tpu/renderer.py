@@ -93,7 +93,10 @@ def make_raycast_fn(scene, config: RenderConfig, traversal: str):
     if traversal == "pallas2":
         from opengl_raytracer_tpu.ops.subblock_traversal import raycast_subblock
 
-        return partial(raycast_subblock, scene)
+        # The renderer's step is always jitted, so the whole-batch pool is
+        # safe (eager callers of raycast_subblock keep the guarded POOL_BIG
+        # tier — see POOL_MAX).
+        return partial(raycast_subblock, scene, big_pools=True)
     raise ValueError(f"unknown traversal {traversal!r}")
 
 
@@ -158,7 +161,12 @@ def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
     the XLA paths carry state in HBM and need bounded chunks.
     """
     R = px.shape[0]
-    default_chunk = (4 * 1024 * 1024 if traversal in ("pallas", "pallas2")
+    # pallas2's whole-batch pool is single-buffered only at grid=1, i.e.
+    # for batches up to POOL_MAX packets (2M rays) — chunk there so a
+    # 1080p frame is one grid step and frame batches pay one extra
+    # dispatch per 2M rays instead of double-buffered windows.
+    default_chunk = (2 * 1024 * 1024 if traversal == "pallas2"
+                     else 4 * 1024 * 1024 if traversal == "pallas"
                      else 128 * 1024)
     chunk = config.ray_chunk or min(R, default_chunk)
     chunk = min(chunk, R)

@@ -90,7 +90,8 @@ def tables_for_target(target_bytes, lo_frac):
     raise RuntimeError(f"could not hit table band: {b} vs {target_bytes}")
 
 
-def run_case(name, target_bytes, lo_frac, want_pool):
+def run_case(name, target_bytes, lo_frac, want_pool, jit=False,
+             big_pools=False):
     t, nbytes = tables_for_target(target_bytes, lo_frac)
     scene = types.SimpleNamespace(
         p2_node_rows=jnp.asarray(t.node_rows),
@@ -104,9 +105,16 @@ def run_case(name, target_bytes, lo_frac, want_pool):
     d = rng.normal(size=(R, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     direction = jnp.asarray(d)
-    # EAGER call site: pads/copies co-scheduled into the kernel scope —
-    # the worst observed VMEM accounting context.
-    near = raycast_subblock(scene, origin, direction)
+    if jit:
+        # The renderer's context: jitted, whole-batch pool.
+        f = jax.jit(lambda a, b: raycast_subblock(scene, a, b,
+                                                  big_pools=big_pools))
+        near = f(origin, direction)
+    else:
+        # EAGER call site: pads/copies (and custom-call results) land on
+        # the 16 MB scoped stack — the worst accounting context.
+        near = raycast_subblock(scene, origin, direction,
+                                big_pools=big_pools)
     tvals = np.asarray(near.t)
     assert np.isfinite(tvals).all(), name
     return {"name": name, "table_bytes": nbytes, "rays": R,
@@ -116,6 +124,12 @@ out = []
 out.append(run_case("pool_big_max_tables", POOL_BIG_TABLE_BYTES, 0.88,
                     POOL_BIG))
 out.append(run_case("pool_std_max_tables", TABLE_BUDGET_BYTES, 0.88, 512))
+# The jitted whole-batch pool at the table budget: POOL_MAX in/out windows
+# + max tables must fit TOTAL VMEM (not the scoped stack) — the renderer's
+# big_pools context for the largest single part.
+from opengl_raytracer_tpu.ops.subblock_traversal import POOL_MAX
+out.append(run_case("big_pool_max_tables", TABLE_BUDGET_BYTES, 0.88,
+                    POOL_MAX, jit=True, big_pools=True))
 print(json.dumps({"ok": out}))
 """
 
@@ -126,7 +140,7 @@ def test_vmem_worst_case_contexts_compile(tmp_path):
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD],
-        capture_output=True, text=True, timeout=1500, env=env,
+        capture_output=True, text=True, timeout=3000, env=env,
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
@@ -137,3 +151,4 @@ def test_vmem_worst_case_contexts_compile(tmp_path):
     cases = {c["name"]: c for c in res["ok"]}
     assert cases["pool_big_max_tables"]["hit_frac"] > 0.2
     assert cases["pool_std_max_tables"]["hit_frac"] > 0.2
+    assert cases["big_pool_max_tables"]["hit_frac"] > 0.2
