@@ -53,32 +53,54 @@ def main():
     seed = rng.warmup(rng.seed_pixels(px, py, 0), 3)
     alive = jnp.ones((R,), bool)
 
-    f_rc = jax.jit(lambda o_, d_, a_: raycast_subblock(
-        data, o_, d_, a_, debug_iters=True))
+    # segment-tuned serve rates (renderer.make_raycast_fn): primaries are
+    # claim-rate-bound, bounce packets last ~52 iterations
+    from opengl_raytracer_tpu.ops.subblock_traversal import (SERVE_BOUNCE,
+                                                             SERVE_PRIMARY)
+    f_rc0 = jax.jit(lambda o_, d_, a_: raycast_subblock(
+        data, o_, d_, a_, debug_iters=True, big_pools=True,
+        serve=SERVE_PRIMARY))
+    f_rcb = jax.jit(lambda o_, d_, a_: raycast_subblock(
+        data, o_, d_, a_, debug_iters=True, big_pools=True,
+        serve=SERVE_BOUNCE))
 
-    def sort3(o, d, alive):
+    def sort3(o, d, alive, seed):
+        # the integrator's full 16-operand reorder sort (key + o3 + d3 +
+        # ray_color3 + incoming3 + alive + seed + orig)
         key = ray_sort_keys(o, d, lo, hi, alive)
+        dummy = o[:, 0]
+        orig = jnp.arange(o.shape[0], dtype=jnp.int32)
         s = jax.lax.sort((key, o[:, 0], o[:, 1], o[:, 2],
                           d[:, 0], d[:, 1], d[:, 2],
-                          alive), num_keys=1)
-        return (jnp.stack(s[1:4], -1), jnp.stack(s[4:7], -1), s[7])
+                          dummy, dummy, dummy, dummy, dummy, dummy,
+                          alive, seed, orig), num_keys=1)
+        return (jnp.stack(s[1:4], -1), jnp.stack(s[4:7], -1), s[13])
 
     f_sort = jax.jit(sort3)
 
     for b in range(BOUNCES + 1):
         n_alive = int(jnp.sum(alive))
-        (o_s, d_s, a_s), t_sort = timeit(f"seg{b} sort", f_sort, o, d, alive)
+        (o_s, d_s, a_s), t_sort = timeit(f"seg{b} sort", f_sort, o, d,
+                                         alive, seed)
+        f_rc = f_rc0 if b == 0 else f_rcb
         (near, iters), t_rc = timeit(f"seg{b} raycast", f_rc, o_s, d_s, a_s)
         it = np.asarray(iters)
-        total_iters = int(it.sum())
+        total_iters = int(it[:, 0].sum())
+        node_pops = int(it[:, 1].sum())
+        oct_pops = int(it[:, 2].sum())
         ns_per_iter = t_rc * 1e9 / max(total_iters, 1)
         n_steps = it.shape[0]
-        print(f"  seg{b}: alive={n_alive/1e6:.2f}M, grid_steps={n_steps}, "
+        live_pkts = int(np.any(np.asarray(a_s).reshape(-1, 128), 1).sum())
+        print(f"  seg{b}: alive={n_alive/1e6:.2f}M ({live_pkts} live pkts), "
+              f"grid_steps={n_steps}, "
               f"mean sub-iters/step={total_iters/n_steps:.0f}, "
-              f"per-sub-iter={ns_per_iter:.0f} ns", flush=True)
+              f"per-sub-iter={ns_per_iter:.0f} ns, "
+              f"pops/pkt node={node_pops/max(live_pkts,1):.1f} "
+              f"oct={oct_pops/max(live_pkts,1):.1f}", flush=True)
 
-        # advance (unsorted for simplicity)
-        near_u = raycast_subblock(data, o, d, alive)
+        # advance (unsorted for simplicity; reuse the jitted kernel so no
+        # second kernel binary is compiled)
+        near_u, _ = f_rc(o, d, alive)
         hit, t_fh = timeit(f"seg{b} finalize_hit",
                            jax.jit(lambda nr: finalize_hit(data, o, d, nr)),
                            near_u)

@@ -43,7 +43,8 @@ STACK_N = 128
 STACK_L = 256
 ORD0 = 48
 EMPTY_PACKED = -(1 << 20)
-_SUB, _LANE = 8, 128
+import os as _os
+_SUB, _LANE = int(_os.environ.get('SUB', 8)), 128
 EPS = 1e-6
 
 
@@ -95,7 +96,7 @@ def make_kernel(variant):
         lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
         cnt[0] = jnp.int32(0)
-        for r in range(16):
+        for r in range(_SUB + 8):
             pkt_ids[r] = jnp.int32(r % 8)
         stack_n[:] = jnp.zeros((_SUB, STACK_N), jnp.int32)
         stack_l[:] = (jnp.zeros((_SUB, STACK_L), jnp.int32)
@@ -417,11 +418,11 @@ def run(variant):
                         pltpu.VMEM((_SUB, _LANE), jnp.float32),
                         pltpu.VMEM((_SUB, _LANE), jnp.float32),
                         pltpu.VMEM((_SUB, _LANE), jnp.float32)]
-                   + [pltpu.VMEM((16, _LANE), jnp.float32)] * 10
-                   + [pltpu.VMEM((16, _LANE), jnp.float32)] * 5
-                   + [pltpu.VMEM((72, _LANE), jnp.float32)]
+                   + [pltpu.VMEM((_SUB + 8, _LANE), jnp.float32)] * 10
+                   + [pltpu.VMEM((_SUB + 8, _LANE), jnp.float32)] * 5
+                   + [pltpu.VMEM((max(72, _SUB + 8), _LANE), jnp.float32)]
                    + [pltpu.SMEM((1,), jnp.int32),
-                      pltpu.SMEM((16,), jnp.int32)],
+                      pltpu.SMEM((_SUB + 8,), jnp.int32)],
     )(*a))
     try:
         r = f(jnp.asarray(np.array([8], np.int32)), o, node_rows, tri_rows)

@@ -9,8 +9,10 @@ Faithful vectorization of the shader's path logic:
 * ``lerp()`` (fragment.glsl:234-240) blends the normalized diffuse and
   mirror-reflection directions by ``1 - roughness`` and renormalizes:
   roughness 1 -> pure diffuse, 0 -> mirror.
-``raycast_fn(origin, dir, alive)`` receives the live-ray mask so traversal
-can skip work for terminated paths.
+``raycast_fn(origin, dir, alive, primary=...)`` receives the live-ray mask
+so traversal can skip work for terminated paths, plus a static
+``primary`` hint (bounce index 0) that lets backends pick segment-tuned
+kernel variants (renderer.make_raycast_fn).
 
 * the bounce loop (fragment.glsl:309-350) adds ``emission_color * emission *
   rayColor`` on every hit (doubled in lambertian mode, fragment.glsl:329-331),
@@ -147,20 +149,38 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
             def do_sort(args):
                 origin, direction, ray_color, incoming, alive, seed, orig = args
                 keys = ray_sort_keys(origin, direction, scene_lo, scene_hi, alive)
+                # 12 operands, not 16: each bitonic payload column costs
+                # ~1.3 ms per 2M-ray sort (experiments/sort_cost.py), so
+                # two columns are folded away per axis.
+                #  * ``incoming`` rides in the origin columns: light is only
+                #    ever added at the DEATH event (an emissive hit or a
+                #    miss both clear ``alive``, fragment.glsl:327-346), so
+                #    live rays always carry incoming == 0, and dead rays
+                #    never use their origin again (every later update is
+                #    masked by ``alive``).
+                #  * ``alive`` is re-derived from the sorted key: dead rays
+                #    carry the reserved sentinel 0xFFFFFFFF and live keys
+                #    are clamped below it (ops/morton.py).
+                merged = jnp.where(alive[:, None], origin, incoming)
                 sorted_ops = _wsort(
                     (keys,
-                     origin[:, 0], origin[:, 1], origin[:, 2],
+                     merged[:, 0], merged[:, 1], merged[:, 2],
                      direction[:, 0], direction[:, 1], direction[:, 2],
                      ray_color[:, 0], ray_color[:, 1], ray_color[:, 2],
-                     incoming[:, 0], incoming[:, 1], incoming[:, 2],
-                     alive, seed, orig),
+                     seed, orig),
                 )
-                (_, o0, o1, o2, d0, d1, d2, c0, c1, c2, i0, i1, i2,
-                 alive_s, seed_s, orig_s) = sorted_ops
-                return (jnp.stack([o0, o1, o2], axis=-1),
+                (keys_s, m0, m1, m2, d0, d1, d2, c0, c1, c2,
+                 seed_s, orig_s) = sorted_ops
+                alive_s = keys_s != np.uint32(0xFFFFFFFF)
+                merged_s = jnp.stack([m0, m1, m2], axis=-1)
+                zeros = jnp.zeros_like(merged_s)
+                # Dead lanes keep their (finite) incoming values in the
+                # origin slots; the raycast masks them out and every
+                # origin consumer is alive-gated, so the junk never flows.
+                return (merged_s,
                         jnp.stack([d0, d1, d2], axis=-1),
                         jnp.stack([c0, c1, c2], axis=-1),
-                        jnp.stack([i0, i1, i2], axis=-1),
+                        jnp.where(alive_s[:, None], zeros, merged_s),
                         alive_s, seed_s, orig_s)
 
             args = (origin, direction, ray_color, incoming, alive, seed,
@@ -171,7 +191,8 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
                 args = do_sort(args)
             (origin, direction, ray_color, incoming, alive, seed, orig) = args
 
-        nearest = raycast_fn(origin, direction, alive)
+        nearest = raycast_fn(origin, direction, alive,
+                             primary=(static_i == 0))
         hit = finalize_hit(scene, origin, direction, nearest)
 
         seed_h, new_dir = scatter(seed, hit.normal, direction, hit.roughness,

@@ -42,7 +42,14 @@ unconditional dynamic loads/stores routed to a dummy row when idle):
      results to the output rows (best t/slot/u/v live in VMEM scratch so
      rows are dynamically addressable), then claim the next pool packet
      (10 dynamic row loads of its rays); all stores target the dummy
-     scratch row _SUB / output row POOL when there is nothing to serve
+     scratch row _SUB / output row POOL when there is nothing to serve.
+     Claims stop at a DYNAMIC live-packet limit (dead-packet skipping):
+     the caller passes, per grid step, the index one past the last packet
+     containing a live ray, so the all-dead tail that the reorder sort
+     parks behind the key sentinel is never claimed at all — without
+     this, every dead packet burns a serve slot and an all-dead pool
+     still costs pool/N_SERVE iterations (~45 ms at the whole-frame
+     pool), which late bounce segments would pay almost in full
   4. 16 dynamic row loads: each row's wide-node row + octet row
   5. expand: 8 static-j child slab tests, child j's bounds broadcast
      from lanes [j*6, j*6+6) of each row's node record
@@ -74,8 +81,15 @@ from opengl_raytracer_tpu.ops.wide2 import EMPTY_PACKED, ORD0
 
 _SUB, _LANE = 64, 128
 _SCR = 72           # scratch rows: 0-63 live, 64 dummy claim target
-N_SERVE = 5         # rows served per iteration: ceil(_SUB / ~13), the
-                    # serve demand of E~13 primary-ray packets
+N_SERVE = 5         # default rows served per iteration: ceil(_SUB / ~13),
+                    # the serve demand of E~13 primary-ray packets
+SERVE_PRIMARY = 5   # serve rate for primary segments (claim-rate-bound:
+                    # ~4 packets finish per iteration at 1080p)
+SERVE_BOUNCE = 3    # serve rate for bounce segments: real bounce packets
+                    # last ~52 iterations (1.24 claims/iteration), and
+                    # each serve slot costs ~0.4 us/iteration in the
+                    # 64-row kernel (experiments/phase_cost.py), so the
+                    # default 5 pays ~0.8 us/iteration for nothing there
 POOL = 512          # default packets per grid step (65536 rays): 8
                     # packets/row bounds the end-of-pool drain tail
                     # (straggler rows finishing while others idle).
@@ -118,8 +132,8 @@ _INT_BIG = np.int32(2**31 - 1)
 
 
 def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
-                     leaf_pops: int):
-    (ox, oy, oz, dx, dy, dz, t0,
+                     leaf_pops: int, n_serve: int):
+    (ox, oy, oz, dx, dy, dz, t0, live_lim,
      node_rows, tri_rows,
      t_out, slot_out, u_out, v_out, it_out,
      stack_n, stack_l, node_scr, *rest) = refs
@@ -138,12 +152,19 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         pkt_ids[r] = jnp.int32(-1)
     stack_n[:] = jnp.zeros((_SUB, STACK_N), jnp.int32)
     stack_l[:] = jnp.zeros((_SUB, STACK_L), jnp.int32)
+    # Claims stop at the live-packet limit (dead-packet skipping): packets
+    # past the last live one in this grid step are never claimed, so their
+    # output rows are never served — initialize t to the miss sentinel so
+    # the host-side did_hit sanitizes slot/u/v for those rays.  The limit
+    # is loop-invariant: read the scalar once, outside the while body.
+    t_out[:] = jnp.full((pool + 8, _LANE), BIG, jnp.float32)
+    lim = live_lim[0, 0]
 
     def cond(c):
         return jnp.max(c[2]) > 0
 
     def body(c):
-        spn, spl, has, it = c                          # has: i32 0/1
+        spn, spl, has, it, nn_pop, nl_pop = c          # has: i32 0/1
 
         # ---- 1. pops: one node + up to ``leaf_pops`` octets per row ----
         # Leaf pops dominate bounce-ray traversal (~2/3 of all pops), so
@@ -202,9 +223,14 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
             slot_out[out_row] = bsl_scr[dst]
             u_out[out_row] = bu_scr[dst]
             v_out[out_row] = bv_scr[dst]
-            # claim the next packet (or mark the row dry)
+            # claim the next packet (or mark the row dry).  The dynamic
+            # live-packet limit replaces the static pool bound: on sorted
+            # bounce batches the dead rays (key-sentinel-sorted to the
+            # tail) form whole dead packets that would otherwise each
+            # burn a serve slot (the serve floor is pool/N_SERVE
+            # iterations even for all-dead pools).
             nxt = cnt[0]
-            got = serving & (nxt < pool)
+            got = serving & (nxt < lim)
             src = jnp.minimum(nxt, pool - 1)
             cnt[0] = nxt + got.astype(jnp.int32)
             pkt_ids[dst] = jnp.where(got, nxt, -1)
@@ -238,7 +264,7 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
 
         avail = done
         stars = []
-        for _ in range(N_SERVE):
+        for _ in range(n_serve):
             rs = serve_one(avail)
             avail = avail & (sub_iota != rs)
             stars.append(rs)
@@ -415,13 +441,23 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         bu_scr[0:_SUB] = bu
         bv_scr[0:_SUB] = bv
 
-        return pos_n, pos_l, has, it + 1
+        # diagnostic pop counters (exported via it_out lanes 1/2; the two
+        # scalar adds are free next to the vector phases)
+        nn_pop = nn_pop + jnp.sum(act_n.astype(jnp.int32))
+        for a in act_ls:
+            nl_pop = nl_pop + jnp.sum(a.astype(jnp.int32))
+        return pos_n, pos_l, has, it + 1, nn_pop, nl_pop
 
     fin = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((_SUB, 1), jnp.int32), jnp.zeros((_SUB, 1), jnp.int32),
-         jnp.ones((_SUB, 1), jnp.int32), jnp.int32(0)))
-    it_out[:] = fin[3] + jnp.zeros((_SUB, _LANE), jnp.int32)
+         jnp.ones((_SUB, 1), jnp.int32), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0)))
+    # lane 0: iteration count; lane 1: total node pops; lane 2: total
+    # octet pops (instance-wide diagnostics for debug_iters consumers)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    it_out[:] = jnp.where(lane == 1, fin[4],
+                          jnp.where(lane == 2, fin[5], fin[3]))
 
 
 def _on_tpu() -> bool:
@@ -440,7 +476,8 @@ def raycast_subblock(scene, origin, direction, active=None,
                      interpret: bool | None = None,
                      debug_iters: bool = False,
                      leaf_pops: int | None = None,
-                     big_pools: bool = False):
+                     big_pools: bool = False,
+                     serve: int | None = None):
     """Nearest hit via the work-stealing sub-block kernel.
 
     Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
@@ -462,6 +499,8 @@ def raycast_subblock(scene, origin, direction, active=None,
         interpret = not _on_tpu()
     if leaf_pops is None:
         leaf_pops = LEAF_POPS
+    if serve is None:
+        serve = N_SERVE
 
     parts = [(scene.p2_node_rows, scene.p2_tri_rows, scene.p2_remap)]
     parts += [tuple(p) for p in scene.p2_extra]
@@ -473,7 +512,7 @@ def raycast_subblock(scene, origin, direction, active=None,
         t_init = None if near is None else near.t
         pn, iters = _raycast_one_part(
             node_rows, tri_rows, remap, origin, direction, active,
-            t_init, interpret, leaf_pops, big_pools)
+            t_init, interpret, leaf_pops, big_pools, serve)
         pn = pn._replace(slot=pn.slot + slot_base)
         slot_base += int(remap.shape[0])
         if near is None:
@@ -497,7 +536,7 @@ def raycast_subblock(scene, origin, direction, active=None,
 
 def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
                       active, t_init, interpret, leaf_pops=2,
-                      big_pools=False):
+                      big_pools=False, serve=N_SERVE):
     """One kernel launch over one part's tables; returns (Nearest, iters).
 
     ``t_init`` seeds the per-ray best t (BIG when None) so later parts
@@ -543,6 +582,28 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     Qr = tri_rows.shape[0]
     grid = Pp // pool
 
+    # Dead-packet skipping: per grid step, claims stop after the last
+    # packet containing any live ray.  On reorder-sorted bounce batches the
+    # dead rays hold the key sentinel and sit at the tail, so entire late
+    # segments shrink to their live prefix; correctness never depends on
+    # the sort (mid-pool dead packets below the limit are still claimed
+    # and drain in one iteration each).  Without an active mask every
+    # packet is live.
+    if active is not None:
+        pkt_live = jnp.any(active.reshape(P, _LANE), axis=1)
+        if pad_p:
+            pkt_live = jnp.concatenate(
+                [pkt_live, jnp.zeros((pad_p,), bool)])
+        pkt_live = pkt_live.reshape(grid, pool)
+        rank = jnp.arange(pool, dtype=jnp.int32)[None, :]
+        lim = jnp.max(jnp.where(pkt_live, rank + 1, 0), axis=1)
+    else:
+        lim = jnp.full((grid,), pool, jnp.int32)
+    # 8 identical rows per grid step: Mosaic requires blocks of >= 8
+    # sublanes unless the block spans the whole array (grid > 1 doesn't).
+    live_lim = jnp.broadcast_to(lim[:, None, None], (grid, 8, _LANE))
+    live_lim = live_lim.reshape(grid * 8, _LANE)
+
     blk = pl.BlockSpec((pool, _LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     out_blk = pl.BlockSpec((outr, _LANE), lambda i: (i, 0),
@@ -562,9 +623,12 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     f32 = jnp.float32
     t, slot, u, v, iters = pl.pallas_call(
         partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool,
-                leaf_pops=leaf_pops),
+                leaf_pops=leaf_pops, n_serve=serve),
         grid=(grid,),
-        in_specs=[blk] * 7 + [whole((Wr, _LANE)), whole((Qr, _LANE))],
+        in_specs=[blk] * 7
+        + [pl.BlockSpec((8, _LANE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]      # live_lim rows
+        + [whole((Wr, _LANE)), whole((Qr, _LANE))],
         out_specs=[out_blk, out_blk, out_blk, out_blk, it_blk],
         out_shape=[
             jax.ShapeDtypeStruct((grid * outr, _LANE), f32),
@@ -594,7 +658,7 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, t0,
+    )(ox, oy, oz, dx, dy, dz, t0, live_lim,
       node_rows, tri_rows)
 
     def unpad(a):
@@ -619,4 +683,5 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
         v=jnp.where(did_hit, v, 0.0),
         slot=slot,
     )
-    return near, iters[::_SUB, 0]
+    # (grid, 3): per grid step [iterations, node pops, octet pops]
+    return near, iters[::_SUB, 0:3]

@@ -76,28 +76,49 @@ def resolve_leaf_bound(scene, config: RenderConfig) -> RenderConfig:
 
 
 def make_raycast_fn(scene, config: RenderConfig, traversal: str):
-    """Bind a raycast(origin, dir, active) -> Nearest for the chosen
-    traversal strategy.  ``config.max_leaf_tris`` must already cover the
-    scene's largest leaf (see resolve_leaf_bound)."""
+    """Bind a raycast(origin, dir, active, primary=False) -> Nearest for
+    the chosen traversal strategy.  ``config.max_leaf_tris`` must already
+    cover the scene's largest leaf (see resolve_leaf_bound).
+
+    ``primary`` is a static hint from the integrator (bounce index 0):
+    the sub-block kernel serves more rows per iteration on primary
+    segments, whose short coherent packets are claim-rate-bound, and
+    fewer on bounce segments, where extra serve slots are pure overhead
+    (~0.4 us/iteration each, experiments/phase_cost.py at 64 rows).
+    """
     if traversal == "brute":
-        return partial(raycast_brute, scene)
-    leaf = config.max_leaf_tris
-    if traversal == "bvh":
-        return partial(raycast_bvh, scene, max_leaf_tris=leaf)
-    if traversal == "packet":
-        return partial(raycast_packet, scene, max_leaf_tris=leaf)
-    if traversal == "pallas":
+        base = partial(raycast_brute, scene)
+    elif traversal == "bvh":
+        base = partial(raycast_bvh, scene, max_leaf_tris=config.max_leaf_tris)
+    elif traversal == "packet":
+        base = partial(raycast_packet, scene,
+                       max_leaf_tris=config.max_leaf_tris)
+    elif traversal == "pallas":
         from opengl_raytracer_tpu.ops.pallas_traversal import raycast_pallas
 
-        return partial(raycast_pallas, scene, max_leaf_tris=leaf)
-    if traversal == "pallas2":
-        from opengl_raytracer_tpu.ops.subblock_traversal import raycast_subblock
+        base = partial(raycast_pallas, scene,
+                       max_leaf_tris=config.max_leaf_tris)
+    elif traversal == "pallas2":
+        from opengl_raytracer_tpu.ops.subblock_traversal import (
+            SERVE_BOUNCE, SERVE_PRIMARY, raycast_subblock)
 
         # The renderer's step is always jitted, so the whole-batch pool is
         # safe (eager callers of raycast_subblock keep the guarded POOL_BIG
         # tier — see POOL_MAX).
-        return partial(raycast_subblock, scene, big_pools=True)
-    raise ValueError(f"unknown traversal {traversal!r}")
+        def fn(origin, direction, active=None, primary=False):
+            return raycast_subblock(
+                scene, origin, direction, active, big_pools=True,
+                serve=SERVE_PRIMARY if primary else SERVE_BOUNCE)
+
+        return fn
+    else:
+        raise ValueError(f"unknown traversal {traversal!r}")
+
+    def fn(origin, direction, active=None, primary=False):
+        del primary  # only the sub-block kernel specializes on it
+        return base(origin, direction, active)
+
+    return fn
 
 
 @dataclasses.dataclass

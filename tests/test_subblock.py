@@ -80,6 +80,59 @@ def test_subblock_respects_active_mask():
     assert (np.asarray(b.t)[dead] >= 1e29).all()
 
 
+def test_subblock_dead_packet_skip():
+    """Whole-packet-dead tails are never claimed (the dynamic live-packet
+    limit) and mid-pool dead packets are still claimed — both must return
+    the same hits as a fully-active run on the live rays, and t = BIG with
+    sanitized u/v/slot on the dead ones."""
+    sc = random_scene()
+    data = sc.send()
+    o, d = random_rays(2048)
+    full = raycast_subblock(data, o, d, interpret=True)
+
+    # dead tail: last 10 of 16 packets fully dead (the reorder-sort shape)
+    act_tail = jnp.asarray(np.arange(2048) < 6 * 128)
+    # dead holes: packets 1, 3, 4 dead mid-pool (limit stays at the tail)
+    hole = np.ones(2048, bool)
+    for p in (1, 3, 4):
+        hole[p * 128:(p + 1) * 128] = False
+    act_hole = jnp.asarray(hole)
+
+    for act in (act_tail, act_hole):
+        r = raycast_subblock(data, o, d, act, interpret=True)
+        live = np.asarray(act)
+        np.testing.assert_allclose(np.asarray(r.t)[live],
+                                   np.asarray(full.t)[live],
+                                   rtol=1e-6, atol=1e-6)
+        assert (np.asarray(r.t)[~live] >= 1e29).all()
+        assert (np.asarray(r.u)[~live] == 0).all()
+        assert (np.asarray(r.v)[~live] == 0).all()
+
+
+def test_subblock_dead_packet_skip_multigrid(monkeypatch):
+    """Per-grid-step live limits: with a small pool forcing several grid
+    steps, each step's claim limit covers exactly its own live prefix."""
+    import opengl_raytracer_tpu.ops.subblock_traversal as sbt
+
+    monkeypatch.setattr(sbt, "POOL", 8)
+    monkeypatch.setattr(sbt, "POOL_BIG", 8)
+    sc = random_scene()
+    data = sc.send()
+    o, d = random_rays(4 * 8 * 128)       # 4 grid steps of 8 packets
+    full = sbt.raycast_subblock(data, o, d, interpret=True)
+
+    act = np.ones(o.shape[0], bool)
+    act[5 * 128:8 * 128] = False          # step 0: live prefix of 5
+    act[8 * 128:16 * 128] = False         # step 1: fully dead
+    act[31 * 128:] = False                # step 3: live prefix of 7
+    act_j = jnp.asarray(act)
+    r = sbt.raycast_subblock(data, o, d, act_j, interpret=True)
+    np.testing.assert_allclose(np.asarray(r.t)[act],
+                               np.asarray(full.t)[act],
+                               rtol=1e-6, atol=1e-6)
+    assert (np.asarray(r.t)[~act] >= 1e29).all()
+
+
 def test_subblock_renderer_image_matches_brute():
     """Full renderer with traversal='pallas2' (interpret on CPU) equals
     the brute-force image on a closed-box scene."""
