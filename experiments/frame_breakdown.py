@@ -54,15 +54,17 @@ def main():
     alive = jnp.ones((R,), bool)
 
     # segment-tuned serve rates (renderer.make_raycast_fn): primaries are
-    # claim-rate-bound, bounce packets last ~52 iterations
+    # claim-rate-bound, bounce packets last ~52 iterations.  NODE_POPS=2
+    # in the environment A/Bs the dual-node-pop kernel.
     from opengl_raytracer_tpu.ops.subblock_traversal import (SERVE_BOUNCE,
                                                              SERVE_PRIMARY)
+    npops = int(os.environ.get('NODE_POPS', '1'))
     f_rc0 = jax.jit(lambda o_, d_, a_: raycast_subblock(
         data, o_, d_, a_, debug_iters=True, big_pools=True,
-        serve=SERVE_PRIMARY))
+        serve=SERVE_PRIMARY, node_pops=npops))
     f_rcb = jax.jit(lambda o_, d_, a_: raycast_subblock(
         data, o_, d_, a_, debug_iters=True, big_pools=True,
-        serve=SERVE_BOUNCE))
+        serve=SERVE_BOUNCE, node_pops=npops))
 
     def sort3(o, d, alive, seed):
         # the integrator's full 16-operand reorder sort (key + o3 + d3 +

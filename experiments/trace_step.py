@@ -81,9 +81,18 @@ def main():
         by_name[name] += dur
         total += dur
 
+    # long_name args (hlo op -> source) for the top events
+    long_of = {}
+    for e in events:
+        if e.get("ph") == "X" and isinstance(e.get("args"), dict):
+            ln = e["args"].get("long_name") or e["args"].get("hlo_op")
+            if ln:
+                long_of.setdefault(e.get("name", "?"), ln)
+
     print(f"\ndevice total: {total:.1f} ms/step; top ops:")
-    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"  {ms:8.2f} ms  {name[:110]}")
+    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
+        ln = long_of.get(name, "")
+        print(f"  {ms:8.2f} ms  {name[:60]}  {ln[:160]}")
 
     # coarse buckets
     buckets = defaultdict(float)

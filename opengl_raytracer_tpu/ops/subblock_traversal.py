@@ -90,6 +90,9 @@ SERVE_BOUNCE = 3    # serve rate for bounce segments: real bounce packets
                     # each serve slot costs ~0.4 us/iteration in the
                     # 64-row kernel (experiments/phase_cost.py), so the
                     # default 5 pays ~0.8 us/iteration for nothing there
+_SERVE_RANKED = False  # pick served rows by parallel rank instead of a
+                       # serial mask-and-rescan chain (A/B flag, read at
+                       # trace time; experiments/serverank_ab.py)
 POOL = 512          # default packets per grid step (65536 rays): 8
                     # packets/row bounds the end-of-pool drain tail
                     # (straggler rows finishing while others idle).
@@ -132,25 +135,28 @@ _INT_BIG = np.int32(2**31 - 1)
 
 
 def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
-                     leaf_pops: int, n_serve: int):
+                     leaf_pops: int, n_serve: int, node_pops: int):
     (ox, oy, oz, dx, dy, dz, t0, live_lim,
      node_rows, tri_rows,
      t_out, slot_out, u_out, v_out, it_out,
-     stack_n, stack_l, node_scr, *rest) = refs
-    tri_scrs = list(rest[:leaf_pops])
+     stack_n, stack_l, *rest) = refs
+    node_scrs = list(rest[:node_pops])
+    tri_scrs = list(rest[node_pops:node_pops + leaf_pops])
     (xfer,
      so_x, so_y, so_z, sd_x, sd_y, sd_z,
      si_x, si_y, si_z, st0, flag_scr,
      bt_scr, bsl_scr, bu_scr, bv_scr,
-     cnt, pkt_ids) = rest[leaf_pops:]
-    lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_N), 1)
+     cnt, pkt_ids) = rest[node_pops + leaf_pops:]
+    # node stack lanes double with dual node pops (see _raycast_one_part)
+    sn_lanes = stack_n.shape[-1]
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, sn_lanes), 1)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
 
     cnt[0] = jnp.int32(0)
     for r in range(_SCR):
         pkt_ids[r] = jnp.int32(-1)
-    stack_n[:] = jnp.zeros((_SUB, STACK_N), jnp.int32)
+    stack_n[:] = jnp.zeros((_SUB, sn_lanes), jnp.int32)
     stack_l[:] = jnp.zeros((_SUB, STACK_L), jnp.int32)
     # Claims stop at the live-packet limit (dead-packet skipping): packets
     # past the last live one in this grid step are never claimed, so their
@@ -166,36 +172,58 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
     def body(c):
         spn, spl, has, it, nn_pop, nl_pop = c          # has: i32 0/1
 
-        # ---- 1. pops: one node + up to ``leaf_pops`` octets per row ----
-        # Leaf pops dominate bounce-ray traversal (~2/3 of all pops), so
-        # draining several octets per iteration divides the iteration
-        # count of leaf-bound packets for ~25%/octet more per-iteration
-        # work (dual pops measured a clear win in round 2).
+        # ---- 1. pops: ``node_pops`` nodes + up to ``leaf_pops`` octets ----
+        # Leaf pops dominate bounce-ray traversal's POP count, but the
+        # ITERATION count is node-bound on real 1080p bounce segments
+        # (54 node pops vs 78/2 octet-pop demand per packet,
+        # experiments/frame_breakdown.py) — dual NODE pops halve that
+        # bound for one extra expand+push per iteration.  The leaf-stack
+        # throttle reserves 8 slots per popped node.
         done = (spn <= 0) & (spl <= 0) & (has > 0)     # (8,1)
-        act_n = (spn > 0) & (spl < STACK_L - 8)        # throttle node pops
+        room = spl < STACK_L - 8 * node_pops           # throttle node pops
+        act_n = (spn > 0) & room
+        act_ns = [act_n]
+        if node_pops == 2:
+            act_ns.append((spn > 1) & room)
         act_ls = [spl > k for k in range(leaf_pops)]
-        spn1 = spn - act_n.astype(jnp.int32)
+        spn1 = spn
+        for a in act_ns:
+            spn1 = spn1 - a.astype(jnp.int32)
         spl1 = spl
         for a in act_ls:
             spl1 = spl1 - a.astype(jnp.int32)
         sn_t = stack_n[:]
         sl_t = stack_l[:]
-        e_n = jnp.sum(jnp.where(lane_n == spn1, sn_t, 0), axis=1,
-                      keepdims=True)
+        # node k pops from lane spn - 1 - k (gated): lane spn - act_n is
+        # spn - 1 when popping, a gated don't-care otherwise
+        sp_a = spn - act_ns[0].astype(jnp.int32)
+        e_ns = [jnp.sum(jnp.where(lane_n == sp_a, sn_t, 0), axis=1,
+                        keepdims=True)]
+        if node_pops == 2:
+            sp_b = sp_a - act_ns[1].astype(jnp.int32)
+            e_ns.append(jnp.sum(
+                jnp.where((lane_n == sp_b) & act_ns[1], sn_t, 0),
+                axis=1, keepdims=True))
         e_ls = [jnp.sum(jnp.where(lane_l == (spl - 1 - k), sl_t, 0), axis=1,
                         keepdims=True) for k in range(leaf_pops)]
-        idx_n = jnp.clip(jnp.where(act_n, e_n, 0), 0, n_wide - 1)
+        idx_ns = [jnp.clip(jnp.where(act_ns[k], e_ns[k], 0), 0, n_wide - 1)
+                  for k in range(node_pops)]
         idx_ls = [jnp.clip(jnp.where(act_ls[k], -e_ls[k] - 1, 0), 0,
                            n_oct - 1) for k in range(leaf_pops)]
 
         # ---- 2. scalar extraction via VMEM round-trip ----
         # lanes [0, 64): node<<16 | first octet; lanes [64, 128): the
-        # remaining octet(s) — with three pops, octets 2 and 3 pack into
-        # one i32 (hi<<16 | lo; sound because per-part octet counts are
-        # bounded well under 2^15 by the VMEM table budget) — one store
-        # still transfers every index per row.
-        word = idx_n * 65536 + idx_ls[0]
-        if leaf_pops == 2:
+        # remaining pops — the second node packs above the second octet
+        # (or, with three octet pops, octets 2 and 3 pack hi<<16 | lo;
+        # sound because per-part row counts are bounded well under 2^15
+        # by the VMEM table budget) — one store still transfers every
+        # index per row.
+        word = idx_ns[0] * 65536 + idx_ls[0]
+        if node_pops == 2:
+            if leaf_pops != 2:
+                raise ValueError("node_pops=2 requires leaf_pops=2")
+            word2 = idx_ns[1] * 65536 + idx_ls[1]
+        elif leaf_pops == 2:
             word2 = idx_ls[1]
         elif leaf_pops == 3:
             word2 = idx_ls[1] * 65536 + idx_ls[2]
@@ -212,8 +240,7 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         # The whole serve machinery measures ~FREE in context (phase_cost
         # all2 1490 vs allserve 1464 ns/iter): it pipelines fully behind
         # the vector phases, so serving N_SERVE rows costs nothing extra.
-        def serve_one(avail):
-            r_star = jnp.min(jnp.where(avail, sub_iota, _SUB))  # scalar
+        def serve_one_at(r_star):
             serving = r_star < _SUB
             dst = jnp.where(serving, r_star, _SUB)         # dummy row _SUB
             old = pkt_ids[dst]
@@ -262,21 +289,40 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
 
             return r_star
 
-        avail = done
-        stars = []
-        for _ in range(n_serve):
-            rs = serve_one(avail)
-            avail = avail & (sub_iota != rs)
-            stars.append(rs)
+        if _SERVE_RANKED:
+            # The n_serve row picks are INDEPENDENT masked min-reduces
+            # over precomputed ranks instead of a serial mask-and-rescan
+            # chain: serve slot k takes the k-th done row.  The serial
+            # form makes pick k+1's (64,1)-reduce -> scalar round trip
+            # wait on pick k's; ranked picks overlap their latencies.
+            done_i = done.astype(jnp.int32)
+            rank = jnp.cumsum(done_i, axis=0) - done_i     # exclusive
+            stars = []
+            for k in range(n_serve):
+                rs = jnp.min(jnp.where(done & (rank == k), sub_iota, _SUB))
+                stars.append(rs)
+            for rs in stars:
+                serve_one_at(rs)
+        else:
+            avail = done
+            stars = []
+            for _ in range(n_serve):
+                rs = serve_one_at(jnp.min(
+                    jnp.where(avail, sub_iota, _SUB)))
+                avail = avail & (sub_iota != rs)
+                stars.append(rs)
 
         # ---- 4. dynamic row loads (idle rows load row 0 = the root the
         # freshly served row is about to expand) ----
         for r in range(_SUB):
             v = xfer[r, 0]
-            node_scr[r] = node_rows[v >> 16]
+            node_scrs[0][r] = node_rows[v >> 16]
             tri_scrs[0][r] = tri_rows[v & 65535]
             w = xfer[r, 64]
-            if leaf_pops == 2:
+            if node_pops == 2:
+                node_scrs[1][r] = node_rows[w >> 16]
+                tri_scrs[1][r] = tri_rows[w & 65535]
+            elif leaf_pops == 2:
                 tri_scrs[1][r] = tri_rows[w]
             else:
                 tri_scrs[1][r] = tri_rows[w >> 16]
@@ -302,7 +348,7 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         o_x, o_y, o_z = so_x[0:_SUB], so_y[0:_SUB], so_z[0:_SUB]
         d_x, d_y, d_z = sd_x[0:_SUB], sd_y[0:_SUB], sd_z[0:_SUB]
         inv_x, inv_y, inv_z = si_x[0:_SUB], si_y[0:_SUB], si_z[0:_SUB]
-        nrow = node_scr[:]
+        nrows = [s[:] for s in node_scrs]
 
         # per-row dominant octant (rows are sorted coherent; recomputed
         # each iteration because claims swap rays in — cheaper than loading
@@ -314,36 +360,41 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         )
 
         # ---- 5. expand: 8 children, slot j at lanes [j*6, j*6+6) ----
-        bit_terms = []
-        for j in range(8):
-            b = j * 6
-            t1x = (nrow[:, b + 0:b + 1] - o_x) * inv_x
-            t1y = (nrow[:, b + 1:b + 2] - o_y) * inv_y
-            t1z = (nrow[:, b + 2:b + 3] - o_z) * inv_z
-            t2x = (nrow[:, b + 3:b + 4] - o_x) * inv_x
-            t2y = (nrow[:, b + 4:b + 5] - o_y) * inv_y
-            t2z = (nrow[:, b + 5:b + 6] - o_z) * inv_z
-            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                           jnp.minimum(t1y, t2y)),
-                               jnp.minimum(t1z, t2z))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                          jnp.maximum(t1y, t2y)),
-                              jnp.maximum(t1z, t2z))
-            hit = (far >= near) & (far >= 0.0)
-            # fragment.glsl:261's prune is `max(near, 0) <= closestT`; the
-            # clamp+select are redundant here: live rays always carry
-            # bt > 0 (hits need t > EPS; init is BIG or an earlier part's
-            # t) so near <= bt is equivalent, and dead rays carry
-            # bt = -BIG which no finite near reaches (|d| = 1 keeps the
-            # slab mins finite).
-            ok = hit & (near <= bt)
-            anyj = jnp.any(ok, axis=1, keepdims=True)
-            bit_terms.append(jnp.where(anyj, jnp.int32(1) << j, 0))
-        # disjoint bit positions: tree-OR instead of an 8-deep serial chain
-        while len(bit_terms) > 1:
-            bit_terms = [bit_terms[k] | bit_terms[k + 1]
-                         for k in range(0, len(bit_terms), 2)]
-        bits = jnp.where(act_n_eff, bit_terms[0], 0)
+        def expand(nrow_k, gate):
+            bit_terms = []
+            for j in range(8):
+                b = j * 6
+                t1x = (nrow_k[:, b + 0:b + 1] - o_x) * inv_x
+                t1y = (nrow_k[:, b + 1:b + 2] - o_y) * inv_y
+                t1z = (nrow_k[:, b + 2:b + 3] - o_z) * inv_z
+                t2x = (nrow_k[:, b + 3:b + 4] - o_x) * inv_x
+                t2y = (nrow_k[:, b + 4:b + 5] - o_y) * inv_y
+                t2z = (nrow_k[:, b + 5:b + 6] - o_z) * inv_z
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                               jnp.minimum(t1y, t2y)),
+                                   jnp.minimum(t1z, t2z))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                              jnp.maximum(t1y, t2y)),
+                                  jnp.maximum(t1z, t2z))
+                hit = (far >= near) & (far >= 0.0)
+                # fragment.glsl:261's prune is `max(near, 0) <= closestT`;
+                # the clamp+select are redundant here: live rays always
+                # carry bt > 0 (hits need t > EPS; init is BIG or an
+                # earlier part's t) so near <= bt is equivalent, and dead
+                # rays carry bt = -BIG which no finite near reaches
+                # (|d| = 1 keeps the slab mins finite).
+                ok = hit & (near <= bt)
+                anyj = jnp.any(ok, axis=1, keepdims=True)
+                bit_terms.append(jnp.where(anyj, jnp.int32(1) << j, 0))
+            # disjoint bits: tree-OR instead of an 8-deep serial chain
+            while len(bit_terms) > 1:
+                bit_terms = [bit_terms[k] | bit_terms[k + 1]
+                             for k in range(0, len(bit_terms), 2)]
+            return jnp.where(gate, bit_terms[0], 0)
+
+        bits_list = [expand(nrows[0], act_n_eff)]
+        if node_pops == 2:
+            bits_list.append(expand(nrows[1], act_ns[1]))
 
         # ---- 6. push: far-first order block for this row's octant ----
         # The naive form (8 sequential one-hot writes, each advancing the
@@ -353,29 +404,45 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         # (~10 (64,1) ops per rank, an 8-deep dependency) measured ~3x over
         # the issue-slot model because every (64,1) op still costs a full
         # 8-vreg issue at 1/128 lane utilization.  Prefix positions come
-        # from a log2(8)-step shifted-add cumsum at static lane shifts.
-        ordb = jnp.zeros((_SUB, 8), jnp.float32)
-        for o in range(8):
-            ordb = ordb + jnp.where(
-                octant == o, nrow[:, ORD0 + o * 8:ORD0 + o * 8 + 8], 0.0)
-        pkb = ordb.astype(jnp.int32)                   # (64,8) packed ranks
-        entb = pkb >> 3
-        slb = pkb & 7
-        okb = (((bits >> slb) & 1) != 0) & (entb != EMPTY_PACKED)
+        # from a log2-step shifted-add cumsum at static lane shifts.
+        def ranks(nrow_k):
+            ordb = jnp.zeros((_SUB, 8), jnp.float32)
+            for o in range(8):
+                ordb = ordb + jnp.where(
+                    octant == o, nrow_k[:, ORD0 + o * 8:ORD0 + o * 8 + 8],
+                    0.0)
+            return ordb.astype(jnp.int32)              # (64,8) packed ranks
+
+        # With dual pops, node 2's children go BELOW node 1's on the
+        # stacks: node 1 was the stack top, so its children stay on top
+        # and near-first pop order is preserved for the deepest subtree.
+        halves = [(ranks(nrows[k]), bits_list[k])
+                  for k in reversed(range(node_pops))]
+        # int32 concats only: Mosaic cannot bitcast i1 vregs, so the bool
+        # mask is computed AFTER the halves are joined
+        pkc = jnp.concatenate([pk for pk, _ in halves], axis=1)
+        bitc = jnp.concatenate(
+            [bi + jnp.zeros((_SUB, 8), jnp.int32) for _, bi in halves],
+            axis=1)                                    # (64, 8*node_pops)
+        entb = pkc >> 3
+        okb = (((bitc >> (pkc & 7)) & 1) != 0) & (entb != EMPTY_PACKED)
+        ncand = 8 * node_pops
         isn = (okb & (entb >= 0)).astype(jnp.int32)
         isl = (okb & (entb < 0)).astype(jnp.int32)
-        # inclusive prefix along the 8 rank lanes (zero-fill shifts)
+        # inclusive prefix along the rank lanes (zero-fill shifts)
         cn, cl = isn, isl
-        for sh in (1, 2, 4):
+        sh = 1
+        while sh < ncand:
             z = jnp.zeros((_SUB, sh), jnp.int32)
-            cn = cn + jnp.concatenate([z, cn[:, :8 - sh]], axis=1)
-            cl = cl + jnp.concatenate([z, cl[:, :8 - sh]], axis=1)
+            cn = cn + jnp.concatenate([z, cn[:, :ncand - sh]], axis=1)
+            cl = cl + jnp.concatenate([z, cl[:, :ncand - sh]], axis=1)
+            sh *= 2
         posn_b = spn1 + cn - isn                       # exclusive prefix
         posl_b = spl1 + cl - isl
         # Overflow gating matches the serial chain exactly: the prefix is
         # monotone, so once a rank's position reaches the cap every later
         # rank's does too — the pushed set and positions are identical.
-        pnb = (isn > 0) & (posn_b < STACK_N)
+        pnb = (isn > 0) & (posn_b < sn_lanes)
         plb = (isl > 0) & (posl_b < STACK_L)
         pos_n = spn1 + jnp.sum(pnb.astype(jnp.int32), axis=1, keepdims=True)
         pos_l = spl1 + jnp.sum(plb.astype(jnp.int32), axis=1, keepdims=True)
@@ -385,10 +452,10 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         # the adds reduce as a tree instead of a serial select chain.
         dn = [jnp.where((lane_n == posn_b[:, i:i + 1]) & pnb[:, i:i + 1],
                         entb[:, i:i + 1] - sn_t, 0)
-              for i in range(8)]
+              for i in range(ncand)]
         dl = [jnp.where((lane_l == posl_b[:, i:i + 1]) & plb[:, i:i + 1],
                         entb[:, i:i + 1] - sl_t, 0)
-              for i in range(8)]
+              for i in range(ncand)]
         while len(dn) > 1:
             dn = [dn[k] + dn[k + 1] for k in range(0, len(dn), 2)]
             dl = [dl[k] + dl[k + 1] for k in range(0, len(dl), 2)]
@@ -443,7 +510,8 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
 
         # diagnostic pop counters (exported via it_out lanes 1/2; the two
         # scalar adds are free next to the vector phases)
-        nn_pop = nn_pop + jnp.sum(act_n.astype(jnp.int32))
+        for a in act_ns:
+            nn_pop = nn_pop + jnp.sum(a.astype(jnp.int32))
         for a in act_ls:
             nl_pop = nl_pop + jnp.sum(a.astype(jnp.int32))
         return pos_n, pos_l, has, it + 1, nn_pop, nl_pop
@@ -470,6 +538,10 @@ LEAF_POPS = 2       # octets drained per iteration (2 or 3); the kernel
                     # packs the 2nd+3rd octet indices into one i32, sound
                     # while per-part octet rows stay under 2^15 (the 8 MB
                     # table budget caps total rows at 16384)
+NODE_POPS = 1       # wide nodes expanded per iteration (1 or 2); dual
+                    # node pops double the node stack (the single-pop
+                    # depth guard (d+2)*7+4 <= 128, ops/wide2.py, then
+                    # bounds the dual-pop worst case (d+2)*14+4 <= 252)
 
 
 def raycast_subblock(scene, origin, direction, active=None,
@@ -477,7 +549,8 @@ def raycast_subblock(scene, origin, direction, active=None,
                      debug_iters: bool = False,
                      leaf_pops: int | None = None,
                      big_pools: bool = False,
-                     serve: int | None = None):
+                     serve: int | None = None,
+                     node_pops: int | None = None):
     """Nearest hit via the work-stealing sub-block kernel.
 
     Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
@@ -501,6 +574,8 @@ def raycast_subblock(scene, origin, direction, active=None,
         leaf_pops = LEAF_POPS
     if serve is None:
         serve = N_SERVE
+    if node_pops is None:
+        node_pops = NODE_POPS
 
     parts = [(scene.p2_node_rows, scene.p2_tri_rows, scene.p2_remap)]
     parts += [tuple(p) for p in scene.p2_extra]
@@ -512,7 +587,7 @@ def raycast_subblock(scene, origin, direction, active=None,
         t_init = None if near is None else near.t
         pn, iters = _raycast_one_part(
             node_rows, tri_rows, remap, origin, direction, active,
-            t_init, interpret, leaf_pops, big_pools, serve)
+            t_init, interpret, leaf_pops, big_pools, serve, node_pops)
         pn = pn._replace(slot=pn.slot + slot_base)
         slot_base += int(remap.shape[0])
         if near is None:
@@ -536,7 +611,7 @@ def raycast_subblock(scene, origin, direction, active=None,
 
 def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
                       active, t_init, interpret, leaf_pops=2,
-                      big_pools=False, serve=N_SERVE):
+                      big_pools=False, serve=N_SERVE, node_pops=1):
     """One kernel launch over one part's tables; returns (Nearest, iters).
 
     ``t_init`` seeds the per-ray best t (BIG when None) so later parts
@@ -619,11 +694,14 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
         # octets 2+3 pack as hi<<16 | lo in one i32; unreachable through
         # the 8 MB table budget (<= 16384 rows/part) but guard raw tables
         leaf_pops = 2
+    if node_pops == 2 and Wr >= (1 << 15):
+        # the 2nd node index packs as the hi half of word2 (same bound)
+        node_pops = 1
 
     f32 = jnp.float32
     t, slot, u, v, iters = pl.pallas_call(
         partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool,
-                leaf_pops=leaf_pops, n_serve=serve),
+                leaf_pops=leaf_pops, n_serve=serve, node_pops=node_pops),
         grid=(grid,),
         in_specs=[blk] * 7
         + [pl.BlockSpec((8, _LANE), lambda i: (i, 0),
@@ -638,10 +716,10 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
             jax.ShapeDtypeStruct((grid * _SUB, _LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_SUB, STACK_N), jnp.int32),
+            pltpu.VMEM((_SUB, STACK_N * node_pops), jnp.int32),
             pltpu.VMEM((_SUB, STACK_L), jnp.int32),
-            pltpu.VMEM((_SUB, _LANE), f32),           # node_scr
-        ] + [pltpu.VMEM((_SUB, _LANE), f32)] * leaf_pops  # tri_scr[k]
+        ] + [pltpu.VMEM((_SUB, _LANE), f32)] * node_pops  # node_scr[k]
+          + [pltpu.VMEM((_SUB, _LANE), f32)] * leaf_pops  # tri_scr[k]
           + [pltpu.VMEM((_SUB, _LANE), jnp.int32)]    # xfer
           + [pltpu.VMEM((_SCR, _LANE), f32)] * 11     # rays + t0 + flag
           + [pltpu.VMEM((_SCR, _LANE), f32),          # bt

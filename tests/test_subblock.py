@@ -46,14 +46,16 @@ def test_subblock_tables_valid():
 
 
 @pytest.mark.parametrize("R", [128, 1024, 8192 + 256])
-def test_subblock_matches_packet(R):
+@pytest.mark.parametrize("node_pops", [1, 2])
+def test_subblock_matches_packet(R, node_pops):
     """Nearest hits match the packet traversal exactly, including the
-    non-multiple-of-POOL ray-count padding path."""
+    non-multiple-of-POOL ray-count padding path, at both node-pop
+    widths (dual pops reshuffle the pop/push schedule, never the hits)."""
     sc = random_scene()
     data = sc.send()
     o, d = random_rays(R)
     a = raycast_packet(data, o, d, max_leaf_tris=16)
-    b = raycast_subblock(data, o, d, interpret=True)
+    b = raycast_subblock(data, o, d, interpret=True, node_pops=node_pops)
     np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t),
                                rtol=1e-6, atol=1e-6)
     hit = np.asarray(a.t) < 1e29
