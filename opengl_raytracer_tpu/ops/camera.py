@@ -74,6 +74,16 @@ def ray_dirs(camera: Camera, u: jnp.ndarray, v: jnp.ndarray, width: int, height:
     default is the render aspect, equal under the reference's defaults
     (main.py:470 sizes the window from the same monitor aspect).
     """
+    d = ray_dirs_soa(camera, u, v, width, height, fov=fov, aspect=aspect)
+    return jnp.stack(d, axis=-1)
+
+
+def ray_dirs_soa(camera: Camera, u: jnp.ndarray, v: jnp.ndarray,
+                 width: int, height: int,
+                 fov: float = math.radians(90.0),
+                 aspect: float | None = None) -> tuple:
+    """SoA form of :func:`ray_dirs`: returns a 3-tuple of (R,) direction
+    columns (see ops/integrator.py for why columns beat (R, 3) on TPU)."""
     if aspect is None:
         aspect = width / height
     dir_start_x = -fov / 2.0 * aspect
@@ -81,10 +91,14 @@ def ray_dirs(camera: Camera, u: jnp.ndarray, v: jnp.ndarray, width: int, height:
     x_step = fov * aspect
     y_step = fov
 
-    dx = (dir_start_x + u * x_step)[:, None]
-    dy = (dir_start_y + v * y_step)[:, None]
-    d = camera.right[None, :] * dx + camera.up[None, :] * dy + camera.forward[None, :]
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dx = dir_start_x + u * x_step
+    dy = dir_start_y + v * y_step
+    d = tuple(
+        camera.right[a] * dx + camera.up[a] * dy + camera.forward[a]
+        for a in range(3)
+    )
+    d_len = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    return tuple(d[a] / d_len for a in range(3))
 
 
 def pixel_uv(px: jnp.ndarray, py: jnp.ndarray, width: int, height: int):

@@ -9,10 +9,10 @@ Faithful vectorization of the shader's path logic:
 * ``lerp()`` (fragment.glsl:234-240) blends the normalized diffuse and
   mirror-reflection directions by ``1 - roughness`` and renormalizes:
   roughness 1 -> pure diffuse, 0 -> mirror.
-``raycast_fn(origin, dir, alive, primary=...)`` receives the live-ray mask
-so traversal can skip work for terminated paths, plus a static
-``primary`` hint (bounce index 0) that lets backends pick segment-tuned
-kernel variants (renderer.make_raycast_fn).
+``raycast_fn(o3, d3, alive, primary=...)`` receives the ray components as
+3-tuples of (R,) columns plus the live-ray mask so traversal can skip work
+for terminated paths, and a static ``primary`` hint (bounce index 0) that
+lets backends pick segment-tuned kernel variants (renderer.make_raycast_fn).
 
 * the bounce loop (fragment.glsl:309-350) adds ``emission_color * emission *
   rayColor`` on every hit (doubled in lambertian mode, fragment.glsl:329-331),
@@ -27,6 +27,16 @@ kernel variants (renderer.make_raycast_fn).
 The bounce loop is UNROLLED (the bounce count is a static config int):
 dead rays carry an ``alive`` mask — the vector analog of the shader's
 breaks — and contribute exactly their frozen light to every later bounce.
+
+ALL per-ray state is SoA — vec3 quantities travel as 3-tuples of (R,)
+columns, never (R, 3) arrays.  On TPU an (R, 3) f32 array puts the 3-wide
+minor dim on the 128-lane axis, so every elementwise op either runs at
+3/128 lane utilization or pays a layout-transposing copy; measured on the
+1080p frame the AoS glue (finalize + scatter + state updates) cost
+~70 ms/frame in dozens of separate 1.4-ms fusions.  Columns keep every op
+dense and let XLA fuse each bounce's shading/update math into a few
+single-pass kernels.  The multi-operand reorder sort already carries
+scalar columns, so SoA also deletes its stack/unstack copies.
 """
 
 from __future__ import annotations
@@ -38,30 +48,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from opengl_raytracer_tpu.ops import rng
-from opengl_raytracer_tpu.ops.intersect import finalize_hit
+from opengl_raytracer_tpu.ops.intersect import finalize_hit_soa
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1, keepdims=True)
+def _as_soa(x):
+    """(R, 3) array -> 3-tuple of (R,) columns; tuples pass through."""
+    if isinstance(x, (tuple, list)):
+        return tuple(x)
+    return tuple(x[..., a] for a in range(3))
 
 
-def _normalize_unguarded(v):
-    """GLSL ``normalize``: plain division (near-zero input is the caller's
-    problem, as in the shader); we clamp the denominator at a denormal-level
-    tiny to keep NaNs out of the image."""
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(n, np.float32(1e-30))
+def _norm3(x, y, z):
+    return jnp.sqrt(x * x + y * y + z * z)
 
 
-def _normalize_guarded(v):
-    """The ``lerp`` helper's explicit guard: zero vector stays zero
-    (fragment.glsl:237-238)."""
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return jnp.where(n > 0.0, v / jnp.maximum(n, np.float32(1e-30)), jnp.zeros_like(v))
-
-
-def scatter(seed, normal, ray_dir, roughness, lambertian):
-    """Next bounce direction; returns (new_seed, direction).
+def scatter_soa(seed, n3, d3, roughness, lambertian):
+    """Next bounce direction; returns (new_seed, (dx, dy, dz)).
 
     Draws exactly three RNG values (the shader draws them in ``diffuse``
     before any other decision, fragment.glsl:221), computes the mirror
@@ -71,29 +73,73 @@ def scatter(seed, normal, ray_dir, roughness, lambertian):
     main.py:353-360 / fragment.glsl:16, so toggling it must not recompile);
     both scatter formulas are computed and selected per-element.
     """
-    seed, xi = rng.random_vec3(seed)
+    seed, x0 = rng.random_value(seed)
+    seed, x1 = rng.random_value(seed)
+    seed, x2 = rng.random_value(seed)
+    xi = (x0, x1, x2)
 
     lam = jnp.asarray(lambertian, bool)
-    diffuse_lam = _normalize_unguarded(normal + xi)
-    flip = _dot(xi, normal) < 0.0
-    xi_h = jnp.where(flip, -xi, xi)
-    diffuse_hemi = _normalize_unguarded(xi_h)
-    diffuse_dir = jnp.where(lam, diffuse_lam, diffuse_hemi)
+    tiny = np.float32(1e-30)
+
+    # lambertian: normalize(normal + xi) — GLSL normalize (plain division;
+    # clamp the denominator at a denormal-level tiny to keep NaNs out).
+    s = tuple(n3[a] + xi[a] for a in range(3))
+    s_len = jnp.maximum(_norm3(*s), tiny)
+    diffuse_lam = tuple(s[a] / s_len for a in range(3))
+
+    # hemisphere mode: sign-flip xi into the normal's hemisphere.
+    d_xn = xi[0] * n3[0] + xi[1] * n3[1] + xi[2] * n3[2]
+    flip = d_xn < 0.0
+    xi_h = tuple(jnp.where(flip, -xi[a], xi[a]) for a in range(3))
+    h_len = jnp.maximum(_norm3(*xi_h), tiny)
+    diffuse_hemi = tuple(xi_h[a] / h_len for a in range(3))
+
+    diffuse = tuple(jnp.where(lam, diffuse_lam[a], diffuse_hemi[a])
+                    for a in range(3))
 
     # GLSL reflect(I, N) = I - 2*dot(N, I)*N (fragment.glsl:320).
-    specular_dir = ray_dir - 2.0 * _dot(ray_dir, normal) * normal
+    d_dn = d3[0] * n3[0] + d3[1] * n3[1] + d3[2] * n3[2]
+    spec = tuple(d3[a] - 2.0 * d_dn * n3[a] for a in range(3))
 
-    # lerp(diffuseDir, specularDir, roughness) (fragment.glsl:234-240).
-    t = 1.0 - roughness[:, None]
-    d0 = _normalize_guarded(diffuse_dir)
-    d1 = _normalize_guarded(specular_dir)
-    out = _normalize_unguarded(d0 * (1.0 - t) + d1 * t)
-    return seed, out
+    # lerp(diffuseDir, specularDir, roughness) (fragment.glsl:234-240):
+    # both inputs renormalized with the ZERO-STAYS-ZERO guard, then the
+    # blend renormalized unguarded.
+    dif_len = _norm3(*diffuse)
+    d0 = tuple(
+        jnp.where(dif_len > 0.0, diffuse[a] / jnp.maximum(dif_len, tiny), 0.0)
+        for a in range(3)
+    )
+    spec_len = _norm3(*spec)
+    d1 = tuple(
+        jnp.where(spec_len > 0.0, spec[a] / jnp.maximum(spec_len, tiny), 0.0)
+        for a in range(3)
+    )
+    t = 1.0 - roughness
+    out = tuple(d0[a] * (1.0 - t) + d1[a] * t for a in range(3))
+    o_len = jnp.maximum(_norm3(*out), tiny)
+    return seed, tuple(out[a] / o_len for a in range(3))
+
+
+def scatter(seed, normal, ray_dir, roughness, lambertian):
+    """AoS wrapper over :func:`scatter_soa` (compatibility surface for
+    tests/experiments): (R, 3) arrays in, (new_seed, (R, 3)) out."""
+    seed, d = scatter_soa(seed, _as_soa(normal), _as_soa(ray_dir),
+                          roughness, lambertian)
+    return seed, jnp.stack(d, axis=-1)
 
 
 def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
-             lambertian, reorder: bool = False, sort_window: int = 0):
-    """One path per ray: returns (incoming_light (R,3), new_seed).
+             lambertian, reorder: bool = False, sort_window: int = 0,
+             fused_shade: bool = False, interpret_shade: bool = False):
+    """One path per ray: returns (incoming_light 3x(R,) tuple, new_seed).
+
+    ``origin0``/``dir0`` may be (R, 3) arrays or 3-tuples of (R,) columns.
+
+    ``fused_shade`` routes each bounce's finalize/scatter/state-update
+    through the one-pass Pallas kernel (ops/shade.py) — the same formulas
+    in the same order (equal to FMA-contraction rounding,
+    tests/test_shade.py), ~15x cheaper on TPU.  Requires a traversal
+    backend that reports leaf slots (pallas2).
 
     The reference's per-pixel bounce loop (fragment.glsl:309-350) with the
     emissive-break and miss-break semantics expressed as an alive mask.
@@ -104,14 +150,12 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     and original index, so results are bit-identical to the unsorted order.
 
     ``sort_window`` > 0 sorts within independent windows of that many rays
-    instead of globally: a bitonic sort is O(n log^2 n) compare-exchange
-    passes, so an 8K window costs ~2.5x less than a 2M global sort, and
-    rays never cross windows (each window was itself coherent at the
-    previous bounce, so packet quality degrades only mildly).  The
-    restoring sort is windowed identically — original indices stay inside
-    their window — so images remain bit-identical to the unsorted order.
+    instead of globally (see _wsort below); windowed sorts measured
+    frame-time neutral on TPU and stay available as a config knob.
     """
-    R = origin0.shape[0]
+    o3 = _as_soa(origin0)
+    d3 = _as_soa(dir0)
+    R = o3[0].shape[0]
     if sort_window and (R % sort_window or R <= sort_window):
         sort_window = 0  # fall back to the global sort
 
@@ -131,98 +175,111 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
                                np.float32(2.0), np.float32(1.0))
 
     if reorder:
-        from opengl_raytracer_tpu.ops.morton import ray_sort_keys
+        from opengl_raytracer_tpu.ops.morton import ray_sort_keys_soa
 
         scene_lo = scene.node_min[0]
         scene_hi = scene.node_max[0]
+    if fused_shade:
+        from opengl_raytracer_tpu.ops.shade import shade_update
 
-    def body(state, static_i=None):
-        i, origin, direction, ray_color, incoming, alive, seed, orig = state
+        sky3 = jnp.asarray(sky_color, jnp.float32)
 
-        if reorder:
+    def body(state, static_i):
+        origin, direction, ray_color, incoming, alive, seed, orig = state
+
+        if reorder and static_i > 0:
             # Primary rays (i == 0) arrive screen-coherent; sorting only
             # pays off on bounce rays.  The reorder is a multi-operand
             # lax.sort carrying every per-ray column THROUGH the sort
             # network: measured ~5x cheaper on TPU than argsort followed
             # by random-index gathers (XLA gathers are near-scalar; the
             # bitonic network's data movement is dense vector work).
-            def do_sort(args):
-                origin, direction, ray_color, incoming, alive, seed, orig = args
-                keys = ray_sort_keys(origin, direction, scene_lo, scene_hi, alive)
-                # 12 operands, not 16: each bitonic payload column costs
-                # ~1.3 ms per 2M-ray sort (experiments/sort_cost.py), so
-                # two columns are folded away per axis.
-                #  * ``incoming`` rides in the origin columns: light is only
-                #    ever added at the DEATH event (an emissive hit or a
-                #    miss both clear ``alive``, fragment.glsl:327-346), so
-                #    live rays always carry incoming == 0, and dead rays
-                #    never use their origin again (every later update is
-                #    masked by ``alive``).
-                #  * ``alive`` is re-derived from the sorted key: dead rays
-                #    carry the reserved sentinel 0xFFFFFFFF and live keys
-                #    are clamped below it (ops/morton.py).
-                merged = jnp.where(alive[:, None], origin, incoming)
-                sorted_ops = _wsort(
-                    (keys,
-                     merged[:, 0], merged[:, 1], merged[:, 2],
-                     direction[:, 0], direction[:, 1], direction[:, 2],
-                     ray_color[:, 0], ray_color[:, 1], ray_color[:, 2],
-                     seed, orig),
-                )
-                (keys_s, m0, m1, m2, d0, d1, d2, c0, c1, c2,
-                 seed_s, orig_s) = sorted_ops
-                alive_s = keys_s != np.uint32(0xFFFFFFFF)
-                merged_s = jnp.stack([m0, m1, m2], axis=-1)
-                zeros = jnp.zeros_like(merged_s)
-                # Dead lanes keep their (finite) incoming values in the
-                # origin slots; the raycast masks them out and every
-                # origin consumer is alive-gated, so the junk never flows.
-                return (merged_s,
-                        jnp.stack([d0, d1, d2], axis=-1),
-                        jnp.stack([c0, c1, c2], axis=-1),
-                        jnp.where(alive_s[:, None], zeros, merged_s),
-                        alive_s, seed_s, orig_s)
-
-            args = (origin, direction, ray_color, incoming, alive, seed,
-                    orig)
-            if static_i is None:
-                args = jax.lax.cond(i > 0, do_sort, lambda a: a, args)
-            elif static_i > 0:
-                args = do_sort(args)
-            (origin, direction, ray_color, incoming, alive, seed, orig) = args
+            keys = ray_sort_keys_soa(origin, direction, scene_lo, scene_hi,
+                                     alive)
+            # 12 operands, not 16: each bitonic payload column costs
+            # ~1.3 ms per 2M-ray sort (experiments/sort_cost.py), so
+            # two columns are folded away per axis.
+            #  * ``incoming`` rides in the origin columns: light is only
+            #    ever added at the DEATH event (an emissive hit or a
+            #    miss both clear ``alive``, fragment.glsl:327-346), so
+            #    live rays always carry incoming == 0, and dead rays
+            #    never use their origin again (every later update is
+            #    masked by ``alive``).
+            #  * ``alive`` is re-derived from the sorted key: dead rays
+            #    carry the reserved sentinel 0xFFFFFFFF and live keys
+            #    are clamped below it (ops/morton.py).
+            merged = tuple(jnp.where(alive, origin[a], incoming[a])
+                           for a in range(3))
+            (keys_s, m0, m1, m2, d0, d1, d2, c0, c1, c2,
+             seed, orig) = _wsort(
+                (keys,
+                 merged[0], merged[1], merged[2],
+                 direction[0], direction[1], direction[2],
+                 ray_color[0], ray_color[1], ray_color[2],
+                 seed, orig),
+            )
+            alive = keys_s != np.uint32(0xFFFFFFFF)
+            # Dead lanes keep their (finite) incoming values in the
+            # origin slots; the raycast masks them out and every origin
+            # consumer is alive-gated, so the junk never flows.
+            origin = (m0, m1, m2)
+            direction = (d0, d1, d2)
+            ray_color = (c0, c1, c2)
+            zero = jnp.zeros_like(m0)
+            incoming = tuple(jnp.where(alive, zero, origin[a])
+                             for a in range(3))
 
         nearest = raycast_fn(origin, direction, alive,
                              primary=(static_i == 0))
-        hit = finalize_hit(scene, origin, direction, nearest)
 
-        seed_h, new_dir = scatter(seed, hit.normal, direction, hit.roughness,
-                                  lambertian)
+        if fused_shade:
+            origin, direction, ray_color, incoming, alive, seed = (
+                shade_update(scene, nearest, origin, direction, ray_color,
+                             incoming, alive, seed, sky3, emission_scale,
+                             lambertian, interpret=interpret_shade))
+            return (origin, direction, ray_color, incoming, alive, seed,
+                    orig)
+
+        hit = finalize_hit_soa(scene, origin, direction, nearest)
+
+        seed_h, new_dir = scatter_soa(seed, hit.normal, direction,
+                                      hit.roughness, lambertian)
 
         was_hit = alive & hit.did_hit
         was_miss = alive & ~hit.did_hit
 
-        emitted = hit.emission_color * (hit.emission * emission_scale)[:, None]
-        incoming = (
-            incoming
-            + jnp.where(was_hit[:, None], emitted * ray_color, 0.0)
-            + jnp.where(was_miss[:, None], sky_color[None, :], 0.0)
+        em = hit.emission * emission_scale
+        incoming = tuple(
+            incoming[a]
+            + jnp.where(was_hit, hit.emission_color[a] * em * ray_color[a],
+                        0.0)
+            + jnp.where(was_miss, sky_color[a], 0.0)
+            for a in range(3)
         )
-        ray_color = jnp.where(was_hit[:, None], ray_color * hit.color, ray_color)
-        origin = jnp.where(
-            was_hit[:, None], hit.point + hit.normal * np.float32(1e-4), origin
+        ray_color = tuple(
+            jnp.where(was_hit, ray_color[a] * hit.color[a], ray_color[a])
+            for a in range(3)
         )
-        direction = jnp.where(was_hit[:, None], new_dir, direction)
+        origin = tuple(
+            jnp.where(was_hit,
+                      hit.point[a] + hit.normal[a] * np.float32(1e-4),
+                      origin[a])
+            for a in range(3)
+        )
+        direction = tuple(jnp.where(was_hit, new_dir[a], direction[a])
+                          for a in range(3))
         seed = jnp.where(was_hit, seed_h, seed)
         # Terminate on emissive hit (fragment.glsl:338-340) or on miss.
         alive = was_hit & ~(hit.emission > 0.0)
-        return i + 1, origin, direction, ray_color, incoming, alive, seed, orig
+        return origin, direction, ray_color, incoming, alive, seed, orig
 
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
     state = (
-        jnp.int32(0),
-        origin0,
-        dir0,
-        jnp.ones((R, 3), jnp.float32),
-        jnp.zeros((R, 3), jnp.float32),
+        o3,
+        d3,
+        (ones, ones, ones),
+        (zeros, zeros, zeros),
         jnp.ones((R,), bool),
         seed0,
         jnp.arange(R, dtype=jnp.int32),
@@ -237,42 +294,49 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     # exactly their frozen incoming light.
     for _i in range(int(n_bounces)):
         state = body(state, static_i=_i)
-    incoming, seed, orig = state[4], state[6], state[7]
+    incoming, seed, orig = state[3], state[5], state[6]
     if reorder:
         # Restore pixel order: one more multi-operand sort keyed by the
         # original index (cheaper than argsort + gathers, see above).
         # Windowed sorts never move a ray across its window, so the
-        # restore can be windowed too.
+        # restore can be windowed too.  (``incoming`` is already complete
+        # here: the origin-column fold is purely a sort-transport trick,
+        # unpacked immediately after each sort.)
         _, i0, i1, i2, seed = _wsort(
-            (orig, incoming[:, 0], incoming[:, 1], incoming[:, 2], seed),
+            (orig, incoming[0], incoming[1], incoming[2], seed),
         )
-        incoming = jnp.stack([i0, i1, i2], axis=-1)
+        incoming = (i0, i1, i2)
     return incoming, seed
 
 
 def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
           rays_per_pixel: int, lambertian, reorder: bool = False,
-          sort_window: int = 0):
-    """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366)."""
+          sort_window: int = 0, fused_shade: bool = False,
+          interpret_shade: bool = False):
+    """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366).
+
+    Returns ((R, 3) color, new_seed); inputs may be AoS or SoA."""
     run = partial(
         raytrace,
         scene,
         raycast_fn,
-        origin0,
-        dir0,
+        _as_soa(origin0),
+        _as_soa(dir0),
         sky_color=sky_color,
         n_bounces=n_bounces,
         lambertian=lambertian,
         reorder=reorder,
         sort_window=sort_window,
+        fused_shade=fused_shade,
+        interpret_shade=interpret_shade,
     )
     if rays_per_pixel == 1:
         color, seed = run(seed0=seed0)
-        return color, seed
+        return jnp.stack(color, axis=-1), seed
 
     def body(seed, _):
         color, seed = run(seed0=seed)
-        return seed, color
+        return seed, jnp.stack(color, axis=-1)
 
     seed, colors = jax.lax.scan(body, seed0, None, length=rays_per_pixel)
     return colors.mean(axis=0), seed

@@ -44,6 +44,40 @@ def morton3d(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def ray_sort_keys_soa(o3, d3, lo, hi, alive=None) -> jnp.ndarray:
+    """SoA form of :func:`ray_sort_keys`: ``o3``/``d3`` are 3-tuples of
+    (R,) component columns and ``lo``/``hi`` are (3,) vectors.
+
+    Column-wise math keeps the whole key computation in dense (R,)-shaped
+    lanes — the (R, 3) AoS form makes XLA either lane-pad the minor dim
+    (3 of 128 lanes used) or insert layout copies around every op.
+    """
+    ext = [jnp.maximum(hi[a] - lo[a], np.float32(1e-6)) for a in range(3)]
+    q = [
+        jnp.clip((o3[a] - lo[a]) / ext[a] * np.float32(512.0), 0.0, 511.0)
+        .astype(jnp.uint32)
+        for a in range(3)
+    ]
+    dq = [
+        jnp.clip((d3[a] * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.uint32)
+        for a in range(3)
+    ]
+    dir6 = (dq[0] << _U(4)) | (dq[1] << _U(2)) | dq[2]
+    dq4 = [
+        jnp.clip((d3[a] * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.uint32)
+        for a in (1, 2)
+    ]
+    dfine6 = ((dq4[0] & _U(3)) << _U(4)) | dq4[1]
+    m = _spread3(q[0]) | (_spread3(q[1]) << _U(1)) | (_spread3(q[2]) << _U(2))
+    key = ((dir6 << _U(26)) | ((m >> _U(15)) << _U(14))
+           | (dfine6 << _U(8)) | ((m >> _U(7)) & _U(0xFF)))
+    # Reserve the dead-ray sentinel (see ray_sort_keys).
+    key = jnp.minimum(key, _U(0xFFFFFFFE))
+    if alive is not None:
+        key = jnp.where(alive, key, _U(0xFFFFFFFF))
+    return key
+
+
 def ray_sort_keys(origin, direction, lo, hi, alive=None) -> jnp.ndarray:
     """uint32 coherence keys for rays: quantized direction major (2 bits
     per axis), origin Morton minor (24 bits).
@@ -65,21 +99,8 @@ def ray_sort_keys(origin, direction, lo, hi, alive=None) -> jnp.ndarray:
     cheaper in expands than dir6|morton24 (experiments/key_sweep.py:
     E 55.9 vs 62.1, L 57.7 vs 58.8 per packet on bounce-2 rays).
     """
-    extent = jnp.maximum(hi - lo, np.float32(1e-6))
-    q = ((origin - lo) / extent * np.float32(512.0))
-    q = jnp.clip(q, 0.0, 511.0).astype(jnp.uint32)
-    dq = jnp.clip((direction * 0.5 + 0.5) * 4.0, 0.0, 3.0).astype(jnp.uint32)
-    dir6 = (dq[..., 0] << _U(4)) | (dq[..., 1] << _U(2)) | dq[..., 2]
-    dq4 = jnp.clip((direction * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.uint32)
-    dfine6 = ((dq4[..., 1] & _U(3)) << _U(4)) | dq4[..., 2]
-    m = morton3d(q)
-    key = ((dir6 << _U(26)) | ((m >> _U(15)) << _U(14))
-           | (dfine6 << _U(8)) | ((m >> _U(7)) & _U(0xFF)))
-    # Reserve the dead-ray sentinel: the widened layout can reach
-    # 0xFFFFFFFF for a live ray with unnormalized direction components
-    # (dir6=63 needs two axes >= 0.875, unreachable when normalized —
-    # but clamp so the invariant never depends on the caller).
-    key = jnp.minimum(key, _U(0xFFFFFFFE))
-    if alive is not None:
-        key = jnp.where(alive, key, _U(0xFFFFFFFF))
-    return key
+    return ray_sort_keys_soa(
+        tuple(origin[..., a] for a in range(3)),
+        tuple(direction[..., a] for a in range(3)),
+        lo, hi, alive,
+    )

@@ -562,8 +562,16 @@ def raycast_subblock(scene, origin, direction, active=None,
     ``big_pools=True`` sizes the packet pool to the whole batch (capped at
     POOL_MAX), which minimizes the end-of-pool drain tail; it is ONLY safe
     under jit (see POOL_MAX) and is set by the renderer's raycast binding.
+
+    ``origin``/``direction`` may be (R, 3) arrays or 3-tuples of (R,)
+    columns (the integrator's SoA form — the kernel splits into per-axis
+    (P, 128) windows anyway, so column inputs skip the (R, 3) round trip).
     """
-    R = origin.shape[0]
+    if not isinstance(origin, (tuple, list)):
+        origin = tuple(origin[..., a] for a in range(3))
+    if not isinstance(direction, (tuple, list)):
+        direction = tuple(direction[..., a] for a in range(3))
+    R = origin[0].shape[0]
     if R % _LANE:
         raise ValueError(f"ray count {R} must be a multiple of {_LANE}")
     if scene.p2_node_rows.shape[0] == 0:
@@ -617,9 +625,10 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
     ``t_init`` seeds the per-ray best t (BIG when None) so later parts
     prune against earlier parts' hits; the kernel only improves on strict
     ``<``, so an unimproved ray reports t == t_init and is discarded by
-    the caller's strict combine.
+    the caller's strict combine.  ``origin``/``direction`` are 3-tuples
+    of (R,) columns (normalized by raycast_subblock).
     """
-    R = origin.shape[0]
+    R = origin[0].shape[0]
     P = R // _LANE
     table_bytes = node_rows.nbytes + tri_rows.nbytes
     if big_pools and not interpret:
@@ -643,10 +652,10 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
                 [x, jnp.full((pad_p, _LANE), fill, x.dtype)])
         return x
 
-    ox, oy, oz = (prep(origin[:, i]) for i in range(3))
+    ox, oy, oz = (prep(origin[i]) for i in range(3))
     # pad directions with 1s so the in-kernel 1/d stays finite on dead
     # pad packets
-    dx, dy, dz = (prep(direction[:, i], 1.0) for i in range(3))
+    dx, dy, dz = (prep(direction[i], 1.0) for i in range(3))
 
     t0 = jnp.full((R,), BIG, jnp.float32) if t_init is None else t_init
     if active is not None:

@@ -38,7 +38,8 @@ import numpy as np
 
 from opengl_raytracer_tpu.models.scene import Scene, SceneData
 from opengl_raytracer_tpu.ops import rng
-from opengl_raytracer_tpu.ops.camera import Camera, make_camera, pixel_uv, ray_dirs
+from opengl_raytracer_tpu.ops.camera import (Camera, make_camera, pixel_uv,
+                                             ray_dirs_soa)
 from opengl_raytracer_tpu.ops.integrator import trace
 from opengl_raytracer_tpu.ops.intersect import raycast_brute
 from opengl_raytracer_tpu.ops.traversal import PACKET, raycast_bvh, raycast_packet
@@ -76,9 +77,11 @@ def resolve_leaf_bound(scene, config: RenderConfig) -> RenderConfig:
 
 
 def make_raycast_fn(scene, config: RenderConfig, traversal: str):
-    """Bind a raycast(origin, dir, active, primary=False) -> Nearest for
-    the chosen traversal strategy.  ``config.max_leaf_tris`` must already
-    cover the scene's largest leaf (see resolve_leaf_bound).
+    """Bind a raycast(o3, d3, active, primary=False) -> Nearest for the
+    chosen traversal strategy; the integrator passes ray components as
+    SoA 3-tuples of (R,) columns (ops/integrator.py docstring).
+    ``config.max_leaf_tris`` must already cover the scene's largest leaf
+    (see resolve_leaf_bound).
 
     ``primary`` is a static hint from the integrator (bounce index 0):
     the sub-block kernel serves more rows per iteration on primary
@@ -104,7 +107,7 @@ def make_raycast_fn(scene, config: RenderConfig, traversal: str):
 
         # The renderer's step is always jitted, so the whole-batch pool is
         # safe (eager callers of raycast_subblock keep the guarded POOL_BIG
-        # tier — see POOL_MAX).
+        # tier — see POOL_MAX).  Column tuples pass straight through.
         def fn(origin, direction, active=None, primary=False):
             return raycast_subblock(
                 scene, origin, direction, active, big_pools=True,
@@ -116,6 +119,10 @@ def make_raycast_fn(scene, config: RenderConfig, traversal: str):
 
     def fn(origin, direction, active=None, primary=False):
         del primary  # only the sub-block kernel specializes on it
+        if isinstance(origin, (tuple, list)):
+            origin = jnp.stack(origin, axis=-1)
+        if isinstance(direction, (tuple, list)):
+            direction = jnp.stack(direction, axis=-1)
         return base(origin, direction, active)
 
     return fn
@@ -136,24 +143,31 @@ class RenderState:
 
 def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
                   frame_number, sky_brightness, jitter_amount, lambertian,
-                  px, py, raycast_fn, reorder: bool = False):
+                  px, py, raycast_fn, reorder: bool = False,
+                  fused_shade: bool = False, interpret_shade: bool = False):
     """Trace a flat batch of pixels; px/py int32 (R,), py in GL convention
     (0 = bottom row).  Returns (R, 3) linear color."""
     seed = rng.seed_pixels(px, py, frame_number)
     seed = rng.warmup(seed, 3)
 
     u, v = pixel_uv(px, py, config.width, config.height)
-    d = ray_dirs(camera, u, v, config.width, config.height,
-                 aspect=config.ray_aspect)
+    d = ray_dirs_soa(camera, u, v, config.width, config.height,
+                     aspect=config.ray_aspect)
 
-    # Anti-alias jitter (fragment.glsl:398-400).
+    # Anti-alias jitter (fragment.glsl:398-400).  SoA columns throughout:
+    # (R, 3) arrays put the 3-wide minor dim on the 128-lane axis (see
+    # ops/integrator.py docstring).
     seed, r1 = rng.random_value(seed)
     seed, r2 = rng.random_value(seed)
-    d = d + (camera.right[None, :] * r1[:, None]
-             + camera.up[None, :] * r2[:, None]) * jitter_amount
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = tuple(
+        d[a] + (camera.right[a] * r1 + camera.up[a] * r2) * jitter_amount
+        for a in range(3)
+    )
+    d_len = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    d = tuple(d[a] / d_len for a in range(3))
 
-    origin = jnp.broadcast_to(camera.pos[None, :], d.shape)
+    origin = tuple(jnp.broadcast_to(camera.pos[a], d[0].shape)
+                   for a in range(3))
     sky = jnp.asarray(SKY_COLOR, jnp.float32) * sky_brightness
 
     color, _ = trace(
@@ -168,6 +182,8 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         lambertian=lambertian,
         reorder=reorder,
         sort_window=config.sort_window,
+        fused_shade=fused_shade,
+        interpret_shade=interpret_shade,
     )
     return color
 
@@ -206,11 +222,21 @@ def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
             frame_count = jnp.concatenate(
                 [frame_count, jnp.zeros((pad,), frame_count.dtype)])
 
+    if traversal == "pallas2":
+        # The fused shade/scatter/update kernel needs leaf slots, which
+        # only the sub-block backend reports.
+        from opengl_raytracer_tpu.ops.pallas_traversal import _on_tpu
+
+        fused_shade, interpret_shade = True, not _on_tpu()
+    else:
+        fused_shade, interpret_shade = False, False
+
     def body(px_c, py_c, frame_c):
         return render_pixels(
             scene, config, camera, frame_c, sky_brightness, jitter_amount,
             lambertian, px_c, py_c, raycast_fn=raycast_fn,
             reorder=traversal in ("packet", "pallas", "pallas2"),
+            fused_shade=fused_shade, interpret_shade=interpret_shade,
         )
 
     if n_chunks == 1:
