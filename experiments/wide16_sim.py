@@ -10,9 +10,40 @@ bounce-ray packets captured from the 1080p minidragon frame.
 Run on TPU once to capture rays (writes /tmp/wide16_rays.npz), then the
 simulation itself is pure numpy (re-runs load the capture).
 
-MEASURED RESULT (2026-08-17, minidragon 1080p bounce-2 packets, 400
-sampled, calibration sim-8w vs kernel 54 node/78 oct: see output):
-recorded at the bottom of this docstring after the run.
+MEASURED RESULTS (2026-08-17, minidragon 1080p bounce-2 packets).
+Calibration: full-population sim (wide_vecsim.py) = 53.5 iters / 52.3
+node / 73.6 oct pops per packet vs the real kernel's 54 / 78 — the
+simulator is trustworthy.
+
+Per-packet pops (fixed 512k-ray subset, exact totals — NOTE a random
+subset dilutes coherence, all numbers shift up together; ratios hold):
+
+  tree              iters   node    oct
+  8-wide  c8  lp2   74.1    72.9    98.7   (production)
+  16-wide c8  lp2   (sample run: node -27% but oct +29%, iters ~flat)
+  16-wide c8  lp3   51.7    49.6   112.3   (-30% iters)
+  16-wide c12 lp3   44.6    42.5    99.3   (-40% iters)
+  16-wide c12 lp2   60.3    44.3   109.9
+
+VERDICT: 16-wide LOSES end-to-end despite the iteration cuts.  Cost
+model vs the measured phase split (F=2.4us spine/serve + V: expand 16,
+push 29, leaf 30 ms per bounce segment): box tests = node_pops x width
+RISES +16-36% (coarser culling), tri tests rise +14% (c8 lp3, octet
+pops +14%) or +51% (c12 — bigger chunk bboxes get opened MORE, octet
+count does NOT drop), and push cost scales with ncand=width.  Only the
+F x iterations product shrinks (~12 ms/segment), which the fatter V
+phases eat back: every variant models to -3%..+13% NET.  The 8-wide
+sub-block kernel is at a genuine architectural optimum for the VPU:
+total vector work = pops x per-pop width, and pop-width trades against
+pruning quality in BOTH directions (dual node pops -14% round-3, 64-ray
+packets +46% total work, 16-wide above).
+
+Sort keys (same subset, wide_vecsim totals): every concatenation layout
+(m12f6r8 current, m17f6r4, m15f6r6, m18f9) lands within 1% — earlier
+per-packet-sample differences were noise.  A 6D position x direction
+bit-interleave (p9,d5) is the only real mover at -4.6% iters, but needs
+a 42-bit key => 2-operand sort (+1.3 ms x 4 sorts) eats half of it.
+Keys are DONE as a direction.
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np

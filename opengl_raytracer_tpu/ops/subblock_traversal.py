@@ -83,8 +83,12 @@ _SUB, _LANE = 64, 128
 _SCR = 72           # scratch rows: 0-63 live, 64 dummy claim target
 N_SERVE = 5         # default rows served per iteration: ceil(_SUB / ~13),
                     # the serve demand of E~13 primary-ray packets
-SERVE_PRIMARY = 5   # serve rate for primary segments (claim-rate-bound:
-                    # ~4 packets finish per iteration at 1080p)
+SERVE_PRIMARY = 8   # serve rate for primary segments, which sit near the
+                    # claim-rate floor (16200 pkts / N per iteration): 8
+                    # measured 3006 iters / 75.2 ms vs 5's 3779 / 78.6 on
+                    # the standalone 2M-ray primary cast
+                    # (experiments/nserve_sweep.py).  Only primaries pay
+                    # the extra serve slots — bounce segments keep 3.
 SERVE_BOUNCE = 3    # serve rate for bounce segments: real bounce packets
                     # last ~52 iterations (1.24 claims/iteration), and
                     # each serve slot costs ~0.4 us/iteration in the
