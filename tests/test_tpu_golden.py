@@ -63,14 +63,24 @@ print(json.dumps({"ok": True}))
 
 
 def test_pallas2_compiled_on_tpu_matches_oracle(tmp_path):
+    from tpu_probe import tpu_reachable
+
+    if not tpu_reachable():
+        pytest.skip("no TPU reachable (probe child timed out or saw no "
+                    "tpu/axon device)")
     out = tmp_path / "img.npy"
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    proc = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(out)],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True, timeout=900,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(out)],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        # A wedged axon tunnel blocks jax.devices() itself — environment,
+        # not code; it recovers on its own (verify skill notes).
+        pytest.skip("TPU subprocess timed out (tunnel wedged/unreachable)")
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not lines:
         pytest.skip(f"TPU subprocess unavailable: rc={proc.returncode} "

