@@ -34,8 +34,6 @@ inherent to ANY two compilations of the same formula); integer outputs
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
