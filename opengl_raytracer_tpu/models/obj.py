@@ -29,27 +29,40 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj_py(file_path: str) -> np.ndarray:
-    """Parse an OBJ file to an (N, 8) float32 vertex array (pure Python)."""
+def load_obj_py(file_path: str, progress: bool | None = None) -> np.ndarray:
+    """Parse an OBJ file to an (N, 8) float32 vertex array (pure Python).
+
+    With progress enabled, prints the reference's carriage-return percent
+    bar every ``max(lines // 100, 10)`` lines plus a closing newline
+    (loadObject.pyx:14,20-21,48)."""
+    from opengl_raytracer_tpu.utils.progress import progress_enabled
+
+    show = progress_enabled(progress)
     vp: list[list[float]] = []
     vt: list[list[float]] = []
     vn: list[list[float]] = []
     out: list[float] = []
 
     with open(file_path, "r") as f:
-        for line in f:
-            words = line.split()
-            if not words:
-                continue
-            tag = words[0]
-            if tag == "v":
-                vp.append([float(words[-3]), float(words[-2]), float(words[-1])])
-            elif tag == "vt":
-                vt.append([float(words[1]), float(words[2])])
-            elif tag == "vn":
-                vn.append([float(words[1]), float(words[2]), float(words[3])])
-            elif tag == "f":
-                _read_faces(words[1:], vp, vn, vt, out)
+        lines = f.readlines()
+    step = max(len(lines) // 100, 10)
+    for i, line in enumerate(lines, start=1):
+        if show and i % step == 0:
+            print(f"\r{round(i / len(lines) * 100, 2)} %", end="", flush=True)
+        words = line.split()
+        if not words:
+            continue
+        tag = words[0]
+        if tag == "v":
+            vp.append([float(words[-3]), float(words[-2]), float(words[-1])])
+        elif tag == "vt":
+            vt.append([float(words[1]), float(words[2])])
+        elif tag == "vn":
+            vn.append([float(words[1]), float(words[2]), float(words[3])])
+        elif tag == "f":
+            _read_faces(words[1:], vp, vn, vt, out)
+    if show:
+        print("")
 
     arr = np.asarray(out, dtype=np.float32)
     return arr.reshape(-1, 8)
@@ -82,14 +95,17 @@ def _get_vertex(face: str, vp, vn, vt, out) -> None:
     out.append(1.0 - t[1])
 
 
-def load_obj(file_path: str) -> np.ndarray:
+def load_obj(file_path: str, progress: bool | None = None) -> np.ndarray:
     """Parse an OBJ file, preferring the native C++ parser when available."""
+    from opengl_raytracer_tpu.utils.progress import progress_enabled
+
+    show = progress_enabled(progress)
     try:
         from opengl_raytracer_tpu.native import loader
 
         lib = loader.get_lib()
         if lib is not None:
-            return loader.load_obj_native(file_path)
+            return loader.load_obj_native(file_path, progress=show)
     except Exception:
         pass
-    return load_obj_py(file_path)
+    return load_obj_py(file_path, progress=show)

@@ -24,6 +24,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import time
 from typing import NamedTuple
 
 import numpy as np
@@ -132,6 +133,18 @@ class Scene:
             vertex_counts.append(p.shape[0])
             colors.append(np.asarray(obj.color, dtype=np.float32))
             emission_colors.append(np.asarray(obj.emission_color, dtype=np.float32))
+            if obj.emission < 0:
+                # The integrator's reorder sort folds ``incoming`` into
+                # dead rays' origin columns, which relies on live rays
+                # carrying incoming == 0 — true only when light is added
+                # exclusively at the death event (emission > 0 terminates,
+                # fragment.glsl:338-343).  A negative emission would keep
+                # the ray alive while accumulating light, silently dropping
+                # it under reorder; reject it loudly at build instead.
+                raise ValueError(
+                    f"object {obj!r}: negative emission {obj.emission} is "
+                    f"not supported (emissive hits must terminate paths)"
+                )
             surfaces.append([obj.emission, obj.roughness])
 
         pos = np.vstack(pos_list) if pos_list else np.zeros((0, 3), np.float32)
@@ -172,9 +185,17 @@ class Scene:
 
         self.bvh: bvh_mod.BVH | None = None
         if build_bvh and n_tris > 0:
+            # Reference build banner + timing (scene.py:137-143); the
+            # builder itself prints the per-slice progress bar.
+            if verbose:
+                print("\nSlicing bounding boxes...")
+            t_build = time.time()
             self.bvh = bvh_mod.build_bvh(
-                self.v0, self.v1, self.v2, max_leaf_tris, method=bvh_method
+                self.v0, self.v1, self.v2, max_leaf_tris, method=bvh_method,
+                progress=verbose,
             )
+            if verbose:
+                print(f"Time taken: {round(time.time() - t_build, 2)} seconds")
         self.total_boxes = self.bvh.num_nodes if self.bvh is not None else 0
 
         if verbose:

@@ -18,6 +18,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <limits>
 #include <vector>
@@ -65,6 +66,22 @@ struct Builder {
     std::vector<int> node_first, node_count;
     std::vector<std::pair<int, int>> children;  // (-1,-1) for leaves
     int max_depth = 0;
+
+    // Progress (the reference's carriage-return percent bar during its
+    // build loop, boundingBoxes.pyx:64-65): percent of triangles placed
+    // into finished leaves — monotonic over the DFS.
+    int progress = 0;
+    long long done = 0;
+    long long next_mark = 0;
+
+    void leaf_progress(long long n) {
+        done += n;
+        if (!progress || done < next_mark) return;
+        std::printf("\r%.2f%%...", (double)done / (double)T * 100.0);
+        std::fflush(stdout);
+        long long step = T / 100 > 0 ? T / 100 : 1;
+        while (next_mark <= done) next_mark += step;
+    }
 
     int alloc_node(long long lo, long long hi) {
         AABB box;
@@ -157,6 +174,7 @@ struct Builder {
         if (n <= max_leaf) {
             node_first[(size_t)me] = (int)lo;
             node_count[(size_t)me] = (int)n;
+            leaf_progress(n);
             return me;
         }
         long long m = choose_split(lo, hi);
@@ -178,13 +196,15 @@ long long bvh_build(const float* v0, const float* v1, const float* v2,
                     long long T, int max_leaf, int method,
                     float* out_min, float* out_max, int* out_miss,
                     int* out_first, int* out_count, long long* out_perm,
-                    int* out_depth) {
+                    int* out_depth, int progress) {
     if (T <= 0 || max_leaf <= 0) return -1;
 
     Builder b;
     b.T = T;
     b.max_leaf = max_leaf;
     b.method = method;
+    b.progress = progress;
+    b.next_mark = T / 100 > 0 ? T / 100 : 1;
     b.tri_box.resize((size_t)T);
     b.centroid.resize((size_t)T * 3);
     b.work.resize((size_t)T);
@@ -203,6 +223,7 @@ long long bvh_build(const float* v0, const float* v1, const float* v2,
 
     b.node_min.reserve((size_t)T * 6);
     b.build(0, T, 0);
+    if (progress) std::printf("\n");
 
     long long N = (long long)b.node_count.size();
     if (N > 2 * T) return -4;

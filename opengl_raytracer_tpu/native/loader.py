@@ -61,7 +61,9 @@ def get_lib():
             return None
 
         lib.obj_parse.restype = ctypes.c_longlong
-        lib.obj_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p)]
+        lib.obj_parse.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_void_p),
+                                  ctypes.c_int]  # progress
         lib.obj_free.restype = None
         lib.obj_free.argtypes = [ctypes.c_void_p]
 
@@ -80,19 +82,22 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int),  # node_count
             ctypes.POINTER(ctypes.c_longlong),  # perm (out, T)
             ctypes.POINTER(ctypes.c_int),  # depth (out, 1)
+            ctypes.c_int,  # progress
         ]
         _lib = lib
         return _lib
 
 
-def load_obj_native(file_path: str) -> np.ndarray:
+def load_obj_native(file_path: str, progress: bool = False) -> np.ndarray:
     """Parse an OBJ via the C++ parser -> (N, 8) float32 (same layout as
-    models/obj.py:load_obj_py)."""
+    models/obj.py:load_obj_py).  progress prints the reference-style
+    carriage-return percent bar from the C++ side (loadObject.pyx:20-21)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
     out_ptr = ctypes.c_void_p()
-    n_floats = lib.obj_parse(file_path.encode(), ctypes.byref(out_ptr))
+    n_floats = lib.obj_parse(file_path.encode(), ctypes.byref(out_ptr),
+                             int(bool(progress)))
     if n_floats < 0:
         raise IOError(f"native OBJ parse failed for {file_path!r} ({n_floats})")
     try:
@@ -104,7 +109,8 @@ def load_obj_native(file_path: str) -> np.ndarray:
 
 
 def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                     max_leaf_tris: int, method: int = 0):
+                     max_leaf_tris: int, method: int = 0,
+                     progress: bool = False):
     """C++ BVH build -> same tuple layout as ops/bvh.py:build_bvh.
     method: 0 = reference mean-split, 1 = binned SAH.
     Returns None if the native library is unavailable."""
@@ -135,7 +141,7 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         fp(node_min), fp(node_max), ip(node_miss), ip(node_first),
         ip(node_count),
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        ip(depth),
+        ip(depth), int(bool(progress)),
     )
     if n <= 0:
         raise RuntimeError(f"native BVH build failed ({n})")

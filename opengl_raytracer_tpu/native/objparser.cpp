@@ -14,6 +14,7 @@
 // Output layout: flat float32 array of [px,py,pz, nx,ny,nz, u,v] rows.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -133,15 +134,38 @@ extern "C" {
 
 // Returns the number of floats written (N*8), or a negative error code:
 // -1 file not found, -2 malformed face index.  *out must be freed with
-// obj_free.
-long long obj_parse(const char* path, void** out) {
+// obj_free.  progress != 0 prints the reference's carriage-return percent
+// bar (loadObject.pyx:20-21; percent here is bytes-consumed, equivalent to
+// the reference's line counter for monotonic progress) and a closing
+// newline (loadObject.pyx:48).
+long long obj_parse(const char* path, void** out, int progress) {
     std::ifstream f(path);
     if (!f.is_open()) return -1;
+
+    long long fsize = 0;
+    if (progress) {
+        f.seekg(0, std::ios::end);
+        fsize = (long long)f.tellg();
+        f.seekg(0, std::ios::beg);
+        if (fsize <= 0) progress = 0;
+    }
+    long long consumed = 0;
+    long long next_mark = progress ? fsize / 100 : 0;
+    if (next_mark < 1) next_mark = 1;
+    long long mark = next_mark;
 
     Parser ps;
     Tokenizer tk;
     std::string line;
     while (std::getline(f, line)) {
+        if (progress) {
+            consumed += (long long)line.size() + 1;
+            if (consumed >= mark) {
+                std::printf("\r%.2f %%", (double)consumed / (double)fsize * 100.0);
+                std::fflush(stdout);
+                while (mark <= consumed) mark += next_mark;
+            }
+        }
         tk.tokenize(line.data());
         if (tk.words.empty()) continue;
         const char* w0 = tk.words[0];
@@ -169,6 +193,8 @@ long long obj_parse(const char* path, void** out) {
             }
         }
     }
+
+    if (progress) std::printf("\n");
 
     float* buf = (float*)std::malloc(ps.out.size() * sizeof(float));
     if (!buf) return -3;

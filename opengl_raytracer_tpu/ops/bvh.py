@@ -56,7 +56,8 @@ class BVH(NamedTuple):
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               max_leaf_tris: int = 16, method: str = "sah",
-              prefer_native: bool = True) -> BVH:
+              prefer_native: bool = True,
+              progress: bool | None = None) -> BVH:
     """Build a BVH over triangles given as three (T, 3) arrays.
 
     method: "mean" (the reference's centroid-mean split) or "sah" (binned
@@ -64,23 +65,30 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     (native/bvh.cpp) and falls back to the pure-NumPy mean-split twin below
     when no compiler is available — mirroring the reference's compiled/
     interpreted module pairing (boundingBoxes.pyx vs scene.py:274-421).
+    progress prints the reference-style carriage-return percent bar during
+    the build (boundingBoxes.pyx:64-65); default auto (tty only).
     """
+    from opengl_raytracer_tpu.utils.progress import progress_enabled
+
+    show = progress_enabled(progress)
     if prefer_native:
         try:
             from opengl_raytracer_tpu.native import loader
 
             bvh = loader.build_bvh_native(
-                v0, v1, v2, max_leaf_tris, method=1 if method == "sah" else 0
+                v0, v1, v2, max_leaf_tris,
+                method=1 if method == "sah" else 0, progress=show,
             )
             if bvh is not None:
                 return bvh
         except Exception:
             pass
-    return build_bvh_numpy(v0, v1, v2, max_leaf_tris)
+    return build_bvh_numpy(v0, v1, v2, max_leaf_tris, progress=show)
 
 
 def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                    max_leaf_tris: int = 16) -> BVH:
+                    max_leaf_tris: int = 16,
+                    progress: bool = False) -> BVH:
     """Pure-NumPy mean-split builder (the readable spec of the native one)."""
     T = v0.shape[0]
     if T == 0:
@@ -122,6 +130,12 @@ def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             node_children.append((-1, -1))
             perm_chunks.append(idx)
             perm_offset += n
+            if progress and (perm_offset * 100) // T != ((perm_offset - n) * 100) // T:
+                # Reference-style carriage-return percent bar
+                # (boundingBoxes.pyx:64-65): percent of triangles placed
+                # into finished leaves, monotonic over the DFS.
+                print(f"\r{round(perm_offset / T * 100, 2)}%...",
+                      end="", flush=True)
             continue
 
         cent = centroids[idx]
@@ -141,6 +155,9 @@ def build_bvh_numpy(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         # Push right first so left is visited first (preorder: left = me + 1).
         stack.append((right, depth + 1, (me, 1)))
         stack.append((left, depth + 1, (me, 0)))
+
+    if progress:
+        print("")
 
     N = len(node_count)
     # Second pass: miss links. miss[root] = N; for internal node i with

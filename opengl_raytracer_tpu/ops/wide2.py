@@ -86,9 +86,11 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     # triangles, order them along the pool's longest axis, and split into
     # the MINIMAL ceil(total/8) balanced consecutive chunks — each chunk
     # one child slot / one octet with a bbox recomputed from its own
-    # triangles.  Re-chunking (a) frees slots mid-collapse so internal
-    # subtrees keep expanding (fewer, fuller wide nodes -> fewer node
-    # pops), and (b) fills octets (fewer leaf pushes/pops).  Correctness
+    # triangles.  Re-chunking runs AFTER the DP frontier for a wide node
+    # is chosen (it cannot influence which subtrees expand); its wins are
+    # (a) fewer slots per node on the margin — the DP's slot counts
+    # assume unpacked leaves, so packing occasionally empties a slot —
+    # and (b) fuller octets (fewer leaf pushes/pops).  Correctness
     # is unaffected: every triangle stays inside its chunk's bbox, so
     # every intersection is still found; chunk bboxes may overlap more
     # than the binary leaves' did, costing occasional extra leaf pops —
@@ -254,6 +256,16 @@ def build_subblock(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     if (max_depth + 2) * (WIDTH - 1) + 4 > STACK_N:
         raise ValueError(f"wide depth {max_depth} exceeds the kernel's "
                          f"{STACK_N}-entry node stack")
+    # The dual-node-pop kernel variant (node_pops=2) doubles the stack to
+    # 2*STACK_N lanes; each iteration can then push up to 2*(WIDTH-1)
+    # children while retiring 2 entries.  Validate that worst case
+    # EXPLICITLY rather than deriving it from the single-pop bound, so a
+    # wrong doubling argument fails loudly at build time instead of
+    # silently dropping node pushes in-kernel (the push gate clamps at
+    # the stack size).
+    if (max_depth + 2) * 2 * (WIDTH - 1) + 4 > 2 * STACK_N:
+        raise ValueError(f"wide depth {max_depth} exceeds the dual-pop "
+                         f"kernel's {2 * STACK_N}-entry node stack")
 
     Wp = max(-(-W // 8) * 8, 8)
     rows = np.zeros((Wp, 128), np.float32)

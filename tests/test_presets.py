@@ -55,3 +55,15 @@ def test_baseline_configs_construct():
             objs = cfg["fallback_objects"]()
         assert len(objs) >= 1
         assert cfg["config"].width > 0
+
+
+def test_negative_emission_rejected():
+    """The integrator's 12-operand reorder sort relies on live rays carrying
+    incoming == 0 (light is only added at the death event); a negative
+    emission would violate that invariant, so Scene rejects it at build."""
+    from opengl_raytracer_tpu.models.rect import Rect
+    from opengl_raytracer_tpu.models.scene import Scene
+
+    bad = Rect([1, 1, 0.1], [0, 0, 0], [0, 0, 0], [1, 1, 1], emission=-0.5)
+    with pytest.raises(ValueError, match="negative emission"):
+        Scene([bad])

@@ -93,18 +93,21 @@ def test_progressive_accumulation_is_mean():
     assert rmse(img2, ref) < 1e-4
 
 
+@pytest.mark.slow
 def test_bvh_matches_brute_image():
     img_b, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="brute")
     img_v, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="bvh")
     assert rmse(img_b, img_v) < 1e-5
 
 
+@pytest.mark.slow
 def test_packet_matches_brute_image():
     img_b, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="brute")
     img_p, _, _ = run_jax(cornellish_objects(), bounces=2, traversal="packet")
     assert rmse(img_b, img_p) < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas2_fused_shade_matches_packet_image():
     """Whole-renderer guard for the SoA + fused-shade pipeline: the
     production pallas2 step (sub-block kernel + ops/shade.py, interpret
@@ -245,6 +248,7 @@ def test_effective_max_leaf_covers_big_leaves():
     assert rmse(img, img_ref) < 1e-6
 
 
+@pytest.mark.slow
 def test_frames_per_step_matches_sequential():
     """Frame batching (frames_per_step=4): one fused step converges 4
     progressive frames with the per-frame RNG streams, so the image
@@ -259,6 +263,7 @@ def test_frames_per_step_matches_sequential():
         run_jax(objs, frames=3, traversal="bvh", frames_per_step=2)
 
 
+@pytest.mark.slow
 def test_frames_per_step_with_tiles_and_sort_window():
     """frames_per_step composes with remainder tiles and the windowed
     reorder sort (packet path, sort_window smaller than the batch)."""
@@ -269,6 +274,7 @@ def test_frames_per_step_with_tiles_and_sort_window():
     assert rmse(img, ref) < 1e-6
 
 
+@pytest.mark.slow
 def test_sort_window_bit_identical():
     """Windowed reorder sorts are order-restoring: images are identical to
     the global-sort render."""
