@@ -130,6 +130,7 @@ def scatter(seed, normal, ray_dir, roughness, lambertian):
 
 def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
              lambertian, reorder: bool = False, sort_window: int = 0,
+             sort_every: int = 1,
              fused_shade: bool = False, interpret_shade: bool = False):
     """One path per ray: returns (incoming_light 3x(R,) tuple, new_seed).
 
@@ -187,7 +188,11 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     def body(state, static_i):
         origin, direction, ray_color, incoming, alive, seed, orig = state
 
-        if reorder and static_i > 0:
+        if reorder and static_i > 0 and (static_i - 1) % sort_every == 0:
+            # sort_every thins the cadence (perf knob only: sorts are
+            # permutations carrying all per-ray state, so any cadence
+            # yields the identical image; skipped bounces just traverse
+            # one-sort-stale packets).
             # Primary rays (i == 0) arrive screen-coherent; sorting only
             # pays off on bounce rays.  The reorder is a multi-operand
             # lax.sort carrying every per-ray column THROUGH the sort
@@ -311,8 +316,8 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
 
 def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
           rays_per_pixel: int, lambertian, reorder: bool = False,
-          sort_window: int = 0, fused_shade: bool = False,
-          interpret_shade: bool = False):
+          sort_window: int = 0, sort_every: int = 1,
+          fused_shade: bool = False, interpret_shade: bool = False):
     """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366).
 
     Returns ((R, 3) color, new_seed); inputs may be AoS or SoA."""
@@ -327,6 +332,7 @@ def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         lambertian=lambertian,
         reorder=reorder,
         sort_window=sort_window,
+        sort_every=sort_every,
         fused_shade=fused_shade,
         interpret_shade=interpret_shade,
     )

@@ -182,6 +182,7 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         lambertian=lambertian,
         reorder=reorder,
         sort_window=config.sort_window,
+        sort_every=config.sort_every,
         fused_shade=fused_shade,
         interpret_shade=interpret_shade,
     )

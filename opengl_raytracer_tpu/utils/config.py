@@ -52,6 +52,10 @@ class RenderConfig:
     sort_window: reorder-sort window in rays (0 = sort the whole chunk);
         windowed sorts cut the bitonic pass count ~2.5x at 8K windows and
         stay bit-identical (rays never cross windows).
+    sort_every: reorder-sort cadence in bounces (1 = sort before every
+        bounce segment, 2 = every other, ...).  A pure perf knob: the
+        sort + final restore are permutations carrying per-ray RNG state,
+        so the image is bit-identical at any cadence.
     frames_per_step: progressive frames converged per tile step (F>1
         batches F frames' sample streams into one fused render — the spp
         batching strategy; per-sample RNG streams are the per-frame
@@ -75,6 +79,7 @@ class RenderConfig:
     ray_chunk: int = 0
     aspect: float = 0.0
     sort_window: int = 0
+    sort_every: int = 1
     frames_per_step: int = 1
 
     @property

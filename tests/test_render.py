@@ -275,6 +275,17 @@ def test_frames_per_step_with_tiles_and_sort_window():
 
 
 @pytest.mark.slow
+def test_sort_cadence_bit_identical():
+    """sort_every > 1 thins the reorder cadence but the sort + restore are
+    permutations carrying all per-ray state, so images are identical."""
+    objs = cornellish_objects()
+    a, _, _ = run_jax(objs, frames=1, bounces=4, traversal="packet",
+                      sort_every=2)
+    b, _, _ = run_jax(objs, frames=1, bounces=4, traversal="packet")
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_sort_window_bit_identical():
     """Windowed reorder sorts are order-restoring: images are identical to
     the global-sort render."""

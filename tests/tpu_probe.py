@@ -20,7 +20,7 @@ _PROBE = (
 _cached: bool | None = None
 
 
-def tpu_reachable(timeout: float = 120.0) -> bool:
+def tpu_reachable(timeout: float = 60.0) -> bool:
     """True when a child process (without the suite's CPU override) can
     enumerate a tpu/axon device within ``timeout`` seconds."""
     global _cached
