@@ -5,7 +5,20 @@ drift ~3%; only interleaved A/Bs are valid under 5%).  Measures the
 2M-ray sorted bounce proxy and the primary cast, both with big pools —
 the same shapes the renderer's segments run.
 
-RESULT (TPU v5e, 2026-08-18): see printout recorded below after the run.
+RESULT (TPU v5e, 2026-08-18, after fixing the i1-vector-carry Mosaic
+legalization failure by carrying the four masks as int32):
+
+    bounce/plain: 153.4 ms  iters=13383 node=791270 oct=1158366
+    primary/plain: 71.5 ms  iters=3006 node=153695 oct=96985
+    bounce/pipe: 155.7 ms   (identical pop counts)
+    primary/pipe: 71.6 ms   (identical pop counts)
+
+The early-pop variant is a measured LOSS (-1.5% bounce, flat primary):
+Mosaic already overlaps the scalar spine with the vector phases, so the
+pipelined body's extra loop carries only cost registers.  The variant
+was DELETED from ops/subblock_traversal.py after this run; the script is
+kept as the measurement record and NO LONGER RUNS at HEAD (the
+``pipelined=`` kwarg is gone).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time

@@ -44,7 +44,19 @@ from opengl_raytracer_tpu.ops import rng
 from opengl_raytracer_tpu.ops.intersect import BIG
 
 _LANE = 128
-_B = 64  # packets (sublane rows) per grid step
+_B = 64  # max packets (sublane rows) per grid step
+
+
+def _pick_block(P: int) -> int:
+    """Largest multiple of 8 that divides P, capped at _B — so the grid
+    tiles P exactly and no per-bounce pad/unpad copies are emitted (at
+    1080p, P=16200: _B=64 padded every operand to 16256, costing ~3 ms of
+    pure pad work per frame; B=40 tiles it exactly).  Falls back to _B
+    (with padding) when P has no such divisor."""
+    for b in range(min(_B, P) & ~7, 0, -8):
+        if P % b == 0:
+            return b
+    return _B
 
 
 def _shade_kernel(abc, t_in, u_in, v_in,
@@ -184,7 +196,8 @@ def shade_update(scene, nearest, o3, d3, rc3, inc3, alive, seed,
     def cols(x):
         return x.reshape(P, _LANE)
 
-    pad_p = (-P) % _B
+    blk = _pick_block(P)
+    pad_p = (-P) % blk
     Pp = P + pad_p
 
     def prep(x, dtype=None):
@@ -206,10 +219,10 @@ def shade_update(scene, nearest, o3, d3, rc3, inc3, alive, seed,
     params = params.at[0, 4].set(
         jnp.asarray(lambertian, bool).astype(jnp.float32))
 
-    grid = Pp // _B
-    col_blk = pl.BlockSpec((_B, _LANE), lambda i: (i, 0),
+    grid = Pp // blk
+    col_blk = pl.BlockSpec((blk, _LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    abc_blk = pl.BlockSpec((24, _B, _LANE), lambda i: (0, i, 0),
+    abc_blk = pl.BlockSpec((24, blk, _LANE), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     par_blk = pl.BlockSpec((8, _LANE), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)

@@ -532,303 +532,6 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
                           jnp.where(lane == 2, fin[5], fin[3]))
 
 
-def _traverse_kernel_pipe(*refs, n_wide: int, n_oct: int, pool: int,
-                          n_serve: int):
-    """EARLY-POP (software-pipelined) variant of _traverse_kernel, fixed
-    at node_pops=1 / leaf_pops=2.
-
-    The plain body's critical path serializes per iteration:
-    push one-hot writes -> stack read -> pops -> xfer VMEM round-trip ->
-    192 dynamic row loads -> expand/leaf.  The scalar-side spine (xfer
-    readback + loads) measures ~1.2 us/iteration EXPOSED in-frame (F ~=
-    2.4 us = serve 1.2 + spine 1.2 of the 8.05 us total).  But the
-    post-push stack exists as a REGISTER VALUE (sn_new/sl_new) before the
-    store, so the NEXT iteration's pops — identical one-hot reduces, just
-    moved — can run at the end of the body that produced the pushes.  The
-    loads then depend only on the rank math, not on the stack stores:
-    Mosaic can overlap the 192-load spine with the push phase's one-hot
-    write storm, and the next body's vector phases start on preloaded
-    scratch.  Pop/push/serve semantics are bit-identical (the pop math is
-    verbatim, evaluated one body early on the same values); parity is
-    pinned by tests/test_subblock.py.
-
-    Loop carry holds the NEXT iteration's pop decisions: post-POP
-    pointers (spn_pp, spl_pp — what _traverse_kernel calls spn1/spl1),
-    the act flags, and done (pre-pop emptiness for the serve phase).
-    """
-    (ox, oy, oz, dx, dy, dz, t0, live_lim,
-     node_rows, tri_rows,
-     t_out, slot_out, u_out, v_out, it_out,
-     stack_n, stack_l, node_scr, tri_scr0, tri_scr1,
-     xfer,
-     so_x, so_y, so_z, sd_x, sd_y, sd_z,
-     si_x, si_y, si_z, st0, flag_scr,
-     bt_scr, bsl_scr, bu_scr, bv_scr,
-     cnt, pkt_ids) = refs
-    tri_scrs = [tri_scr0, tri_scr1]
-    lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_N), 1)
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
-
-    cnt[0] = jnp.int32(0)
-    for r in range(_SCR):
-        pkt_ids[r] = jnp.int32(-1)
-    stack_n[:] = jnp.zeros((_SUB, STACK_N), jnp.int32)
-    stack_l[:] = jnp.zeros((_SUB, STACK_L), jnp.int32)
-    t_out[:] = jnp.full((pool + 8, _LANE), BIG, jnp.float32)
-    lim = live_lim[0, 0]
-    # Pre-loop preload: every row's scratch holds the root (row 0) — what
-    # iteration 0's freshly-claimed rows expand; idle rows are gated.
-    for r in range(_SUB):
-        node_scr[r] = node_rows[0]
-        tri_scrs[0][r] = tri_rows[0]
-        tri_scrs[1][r] = tri_rows[0]
-
-    zeros1 = jnp.zeros((_SUB, 1), jnp.int32)
-    fb = jnp.zeros((_SUB, 1), jnp.bool_)
-
-    def cond(c):
-        return jnp.max(c[2]) > 0
-
-    def body(c):
-        (spn_pp, spl_pp, has, done, act_n, act_l0, act_l1,
-         idx_l0c, idx_l1c, it, nn_pop, nl_pop) = c
-        act_ls = [act_l0, act_l1]
-        idx_lsc = [idx_l0c, idx_l1c]
-
-        # ---- 1. serve-N_SERVE claims (uses the carried done mask) ----
-        def serve_one_at(r_star):
-            serving = r_star < _SUB
-            dst = jnp.where(serving, r_star, _SUB)         # dummy row _SUB
-            old = pkt_ids[dst]
-            out_row = jnp.where(serving & (old >= 0), old, pool)
-            t_out[out_row] = bt_scr[dst]
-            slot_out[out_row] = bsl_scr[dst]
-            u_out[out_row] = bu_scr[dst]
-            v_out[out_row] = bv_scr[dst]
-            nxt = cnt[0]
-            got = serving & (nxt < lim)
-            src = jnp.minimum(nxt, pool - 1)
-            cnt[0] = nxt + got.astype(jnp.int32)
-            pkt_ids[dst] = jnp.where(got, nxt, -1)
-            so_x[dst] = ox[src]
-            so_y[dst] = oy[src]
-            so_z[dst] = oz[src]
-            sd_x[dst] = dx[src]
-            sd_y[dst] = dy[src]
-            sd_z[dst] = dz[src]
-            si_x[dst] = 1.0 / dx[src]
-            si_y[dst] = 1.0 / dy[src]
-            si_z[dst] = 1.0 / dz[src]
-            st0[dst] = t0[src]
-
-            @pl.when(got)
-            def _():
-                flag_scr[dst] = jnp.ones((_LANE,), jnp.float32)
-
-            @pl.when(jnp.logical_not(got))
-            def _():
-                flag_scr[dst] = jnp.zeros((_LANE,), jnp.float32)
-
-            return r_star
-
-        avail = done
-        stars = []
-        for _ in range(n_serve):
-            rs = serve_one_at(jnp.min(jnp.where(avail, sub_iota, _SUB)))
-            avail = avail & (sub_iota != rs)
-            stars.append(rs)
-
-        served_m = jnp.zeros((_SUB, 1), jnp.bool_)
-        for rs in stars:
-            served_m = served_m | (sub_iota == rs)
-        served = done & served_m
-        gm = flag_scr[0:_SUB, 0:1] > 0.5
-        claimed = served & gm
-        dried = served & ~gm
-        has = jnp.where(served, 0, has) + claimed.astype(jnp.int32)
-        act_n_eff = act_n | claimed
-
-        bt = jnp.where(claimed, st0[0:_SUB],
-                       jnp.where(dried, -BIG, bt_scr[0:_SUB]))
-        bsl = jnp.where(served, 0, bsl_scr[0:_SUB])
-        bu = jnp.where(served, 0.0, bu_scr[0:_SUB])
-        bv = jnp.where(served, 0.0, bv_scr[0:_SUB])
-
-        o_x, o_y, o_z = so_x[0:_SUB], so_y[0:_SUB], so_z[0:_SUB]
-        d_x, d_y, d_z = sd_x[0:_SUB], sd_y[0:_SUB], sd_z[0:_SUB]
-        inv_x, inv_y, inv_z = si_x[0:_SUB], si_y[0:_SUB], si_z[0:_SUB]
-        # Read ALL preloaded rows into values NOW: the end-of-body loads
-        # overwrite these scratch buffers with the NEXT iteration's rows,
-        # and the leaf phase below must see this iteration's.
-        nrow = node_scr[:]                       # PRELOADED last iteration
-        trows = [tri_scrs[0][:], tri_scrs[1][:]]
-
-        octant = (
-            ((jnp.sum(d_x, axis=1, keepdims=True) < 0.0).astype(jnp.int32) << 2)
-            | ((jnp.sum(d_y, axis=1, keepdims=True) < 0.0).astype(jnp.int32) << 1)
-            | (jnp.sum(d_z, axis=1, keepdims=True) < 0.0).astype(jnp.int32)
-        )
-
-        # ---- 2. expand (preloaded node row) ----
-        bit_terms = []
-        for j in range(8):
-            b = j * 6
-            t1x = (nrow[:, b + 0:b + 1] - o_x) * inv_x
-            t1y = (nrow[:, b + 1:b + 2] - o_y) * inv_y
-            t1z = (nrow[:, b + 2:b + 3] - o_z) * inv_z
-            t2x = (nrow[:, b + 3:b + 4] - o_x) * inv_x
-            t2y = (nrow[:, b + 4:b + 5] - o_y) * inv_y
-            t2z = (nrow[:, b + 5:b + 6] - o_z) * inv_z
-            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                           jnp.minimum(t1y, t2y)),
-                               jnp.minimum(t1z, t2z))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                          jnp.maximum(t1y, t2y)),
-                              jnp.maximum(t1z, t2z))
-            hit = (far >= near) & (far >= 0.0)
-            ok = hit & (near <= bt)
-            anyj = jnp.any(ok, axis=1, keepdims=True)
-            bit_terms.append(jnp.where(anyj, jnp.int32(1) << j, 0))
-        while len(bit_terms) > 1:
-            bit_terms = [bit_terms[k] | bit_terms[k + 1]
-                         for k in range(0, len(bit_terms), 2)]
-        bits = jnp.where(act_n_eff, bit_terms[0], 0)
-
-        # ---- 3. push rank math (carried post-pop pointers) ----
-        ordb = jnp.zeros((_SUB, 8), jnp.float32)
-        for o in range(8):
-            ordb = ordb + jnp.where(
-                octant == o, nrow[:, ORD0 + o * 8:ORD0 + o * 8 + 8], 0.0)
-        pkb = ordb.astype(jnp.int32)
-        entb = pkb >> 3
-        slb = pkb & 7
-        okb = (((bits >> slb) & 1) != 0) & (entb != EMPTY_PACKED)
-        isn = (okb & (entb >= 0)).astype(jnp.int32)
-        isl = (okb & (entb < 0)).astype(jnp.int32)
-        cn, cl = isn, isl
-        for sh in (1, 2, 4):
-            z = jnp.zeros((_SUB, sh), jnp.int32)
-            cn = cn + jnp.concatenate([z, cn[:, :8 - sh]], axis=1)
-            cl = cl + jnp.concatenate([z, cl[:, :8 - sh]], axis=1)
-        posn_b = spn_pp + cn - isn
-        posl_b = spl_pp + cl - isl
-        pnb = (isn > 0) & (posn_b < STACK_N)
-        plb = (isl > 0) & (posl_b < STACK_L)
-        pos_n = spn_pp + jnp.sum(pnb.astype(jnp.int32), axis=1, keepdims=True)
-        pos_l = spl_pp + jnp.sum(plb.astype(jnp.int32), axis=1, keepdims=True)
-
-        sn_t = stack_n[:]
-        sl_t = stack_l[:]
-        dn = [jnp.where((lane_n == posn_b[:, i:i + 1]) & pnb[:, i:i + 1],
-                        entb[:, i:i + 1] - sn_t, 0) for i in range(8)]
-        dl = [jnp.where((lane_l == posl_b[:, i:i + 1]) & plb[:, i:i + 1],
-                        entb[:, i:i + 1] - sl_t, 0) for i in range(8)]
-        while len(dn) > 1:
-            dn = [dn[k] + dn[k + 1] for k in range(0, len(dn), 2)]
-            dl = [dl[k] + dl[k + 1] for k in range(0, len(dl), 2)]
-        sn_new = sn_t + dn[0]
-        sl_new = sl_t + dl[0]
-
-        # ---- 4. EARLY POPS for the next iteration, on the register
-        # values (verbatim _traverse_kernel pop math, one body early) ----
-        done_n = (pos_n <= 0) & (pos_l <= 0) & (has > 0)
-        room = pos_l < STACK_L - 8
-        act_n_n = (pos_n > 0) & room
-        act_ls_n = [pos_l > k for k in range(2)]
-        sp_a = pos_n - act_n_n.astype(jnp.int32)
-        e_n = jnp.sum(jnp.where(lane_n == sp_a, sn_new, 0), axis=1,
-                      keepdims=True)
-        e_ls = [jnp.sum(jnp.where(lane_l == (pos_l - 1 - k), sl_new, 0),
-                        axis=1, keepdims=True) for k in range(2)]
-        idx_n = jnp.clip(jnp.where(act_n_n, e_n, 0), 0, n_wide - 1)
-        idx_ls = [jnp.clip(jnp.where(act_ls_n[k], -e_ls[k] - 1, 0), 0,
-                           n_oct - 1) for k in range(2)]
-        spn_pp_n = sp_a
-        spl_pp_n = pos_l
-        for a in act_ls_n:
-            spl_pp_n = spl_pp_n - a.astype(jnp.int32)
-
-        # xfer + scalar spine: independent of the stack STORES below, so
-        # Mosaic can overlap the 192 loads with the one-hot write storm.
-        word = idx_n * 65536 + idx_ls[0]
-        word2 = idx_ls[1]
-        xfer[:] = jnp.concatenate(
-            [word + jnp.zeros((_SUB, 64), jnp.int32),
-             word2 + jnp.zeros((_SUB, 64), jnp.int32)], axis=1)
-        for r in range(_SUB):
-            v = xfer[r, 0]
-            node_scr[r] = node_rows[v >> 16]
-            tri_scrs[0][r] = tri_rows[v & 65535]
-            tri_scrs[1][r] = tri_rows[xfer[r, 64]]
-
-        stack_n[:] = sn_new
-        stack_l[:] = sl_new
-
-        # ---- 5. leaf: 2 octets x 8 triangles (preloaded tri rows; act
-        # flags and octet indices CARRIED — these pops happened at the
-        # end of the previous body) ----
-        for k in range(2):
-            trow_k = trows[k]
-            act_k = act_ls[k]
-            slot_base = idx_lsc[k] * 8
-            for j in range(8):
-                b = j * 16
-                v0x, v0y, v0z = (trow_k[:, b + 0:b + 1],
-                                 trow_k[:, b + 1:b + 2],
-                                 trow_k[:, b + 2:b + 3])
-                e1x, e1y, e1z = (trow_k[:, b + 3:b + 4],
-                                 trow_k[:, b + 4:b + 5],
-                                 trow_k[:, b + 5:b + 6])
-                e2x, e2y, e2z = (trow_k[:, b + 6:b + 7],
-                                 trow_k[:, b + 7:b + 8],
-                                 trow_k[:, b + 8:b + 9])
-                fx, fy, fz = (trow_k[:, b + 9:b + 10],
-                              trow_k[:, b + 10:b + 11],
-                              trow_k[:, b + 11:b + 12])
-                det = d_x * fx + d_y * fy + d_z * fz
-                inv_det = 1.0 / det
-                rx = o_x - v0x
-                ry = o_y - v0y
-                rz = o_z - v0z
-                t = -(rx * fx + ry * fy + rz * fz) * inv_det
-                px = ry * d_z - rz * d_y
-                py = rz * d_x - rx * d_z
-                pz = rx * d_y - ry * d_x
-                u = -(e2x * px + e2y * py + e2z * pz) * inv_det
-                vv = (e1x * px + e1y * py + e1z * pz) * inv_det
-                valid = ((jnp.abs(det) >= EPS) & (t > EPS)
-                         & (u >= 0.0) & (vv >= 0.0) & ((u + vv) <= 1.0)
-                         & act_k)
-                better = valid & (t < bt)
-                bt = jnp.where(better, t, bt)
-                bsl = jnp.where(better, slot_base + j, bsl)
-                bu = jnp.where(better, u, bu)
-                bv = jnp.where(better, vv, bv)
-
-        bt_scr[0:_SUB] = bt
-        bsl_scr[0:_SUB] = bsl
-        bu_scr[0:_SUB] = bu
-        bv_scr[0:_SUB] = bv
-
-        nn_pop = nn_pop + jnp.sum(act_n_n.astype(jnp.int32))
-        for a in act_ls_n:
-            nl_pop = nl_pop + jnp.sum(a.astype(jnp.int32))
-        return (spn_pp_n, spl_pp_n, has, done_n, act_n_n,
-                act_ls_n[0], act_ls_n[1], idx_ls[0], idx_ls[1],
-                it + 1, nn_pop, nl_pop)
-
-    fin = jax.lax.while_loop(
-        cond, body,
-        (zeros1, zeros1, jnp.ones((_SUB, 1), jnp.int32),
-         jnp.ones((_SUB, 1), jnp.bool_), fb, fb, fb,
-         zeros1, zeros1,
-         jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
-    it_out[:] = jnp.where(lane == 1, fin[10],
-                          jnp.where(lane == 2, fin[11], fin[9]))
-
-
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu" or any(
         d.platform in ("tpu", "axon") for d in jax.devices()
@@ -843,12 +546,11 @@ NODE_POPS = 1       # wide nodes expanded per iteration (1 or 2); dual
                     # node pops double the node stack (the single-pop
                     # depth guard (d+2)*7+4 <= 128, ops/wide2.py, then
                     # bounds the dual-pop worst case (d+2)*14+4 <= 252)
-PIPELINED = False   # early-pop software pipelining (A/B flag): run the
-                    # next iteration's pops on the post-push REGISTER
-                    # values at the end of the body, so the xfer round
-                    # trip + 192 dynamic row loads overlap the push
-                    # phase's one-hot write storm instead of blocking
-                    # the next iteration (_traverse_kernel_pipe)
+# An early-pop software-pipelined kernel variant (run the next iteration's
+# pops on the post-push register values so the xfer round trip overlaps the
+# push phase) was A/B'd on hardware in round 4 and REMOVED: bounce proxy
+# 155.7 ms vs 153.4 plain, primary equal (experiments/pipe_ab.py) — Mosaic
+# already hides the scalar spine, so the extra carries only cost registers.
 
 
 def raycast_subblock(scene, origin, direction, active=None,
@@ -857,8 +559,7 @@ def raycast_subblock(scene, origin, direction, active=None,
                      leaf_pops: int | None = None,
                      big_pools: bool = False,
                      serve: int | None = None,
-                     node_pops: int | None = None,
-                     pipelined: bool | None = None):
+                     node_pops: int | None = None):
     """Nearest hit via the work-stealing sub-block kernel.
 
     Requires the sub-block tables on SceneData (p2_node_rows, p2_tri_rows,
@@ -892,10 +593,6 @@ def raycast_subblock(scene, origin, direction, active=None,
         serve = N_SERVE
     if node_pops is None:
         node_pops = NODE_POPS
-    if pipelined is None:
-        pipelined = PIPELINED
-    # the early-pop kernel is fixed at node_pops=1 / leaf_pops=2
-    pipelined = pipelined and node_pops == 1 and leaf_pops == 2
 
     parts = [(scene.p2_node_rows, scene.p2_tri_rows, scene.p2_remap)]
     parts += [tuple(p) for p in scene.p2_extra]
@@ -907,8 +604,7 @@ def raycast_subblock(scene, origin, direction, active=None,
         t_init = None if near is None else near.t
         pn, iters = _raycast_one_part(
             node_rows, tri_rows, remap, origin, direction, active,
-            t_init, interpret, leaf_pops, big_pools, serve, node_pops,
-            pipelined)
+            t_init, interpret, leaf_pops, big_pools, serve, node_pops)
         pn = pn._replace(slot=pn.slot + slot_base)
         slot_base += int(remap.shape[0])
         if near is None:
@@ -932,8 +628,7 @@ def raycast_subblock(scene, origin, direction, active=None,
 
 def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
                       active, t_init, interpret, leaf_pops=2,
-                      big_pools=False, serve=N_SERVE, node_pops=1,
-                      pipelined=False):
+                      big_pools=False, serve=N_SERVE, node_pops=1):
     """One kernel launch over one part's tables; returns (Nearest, iters).
 
     ``t_init`` seeds the per-ray best t (BIG when None) so later parts
@@ -1021,15 +716,9 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
         # the 2nd node index packs as the hi half of word2 (same bound)
         node_pops = 1
 
-    if pipelined and (node_pops != 1 or leaf_pops != 2):
-        pipelined = False
-    if pipelined:
-        kern = partial(_traverse_kernel_pipe, n_wide=Wr, n_oct=Qr,
-                       pool=pool, n_serve=serve)
-    else:
-        kern = partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool,
-                       leaf_pops=leaf_pops, n_serve=serve,
-                       node_pops=node_pops)
+    kern = partial(_traverse_kernel, n_wide=Wr, n_oct=Qr, pool=pool,
+                   leaf_pops=leaf_pops, n_serve=serve,
+                   node_pops=node_pops)
     f32 = jnp.float32
     t, slot, u, v, iters = pl.pallas_call(
         kern,

@@ -66,31 +66,6 @@ def test_subblock_matches_packet(R, node_pops):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize("R", [128, 8192 + 256])
-def test_subblock_pipelined_bitexact(R):
-    """The early-pop (software-pipelined) kernel variant must be
-    BIT-identical to the plain body: the pop math is verbatim, evaluated
-    one body early on the post-push register values.  Exercises an active
-    mask so serve/claim interleaving is covered."""
-    sc = random_scene()
-    data = sc.send()
-    o, d = random_rays(R)
-    rng = np.random.default_rng(11)
-    act = jnp.asarray(rng.uniform(size=R) > 0.3)
-    a, ia = raycast_subblock(data, o, d, act, interpret=True,
-                             pipelined=False, debug_iters=True)
-    b, ib = raycast_subblock(data, o, d, act, interpret=True,
-                             pipelined=True, debug_iters=True)
-    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
-    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
-    np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
-    hit = np.asarray(a.t) < 1e29
-    assert (np.asarray(a.slot)[hit] == np.asarray(b.slot)[hit]).all()
-    # identical pop totals: the schedule is the same, only earlier
-    np.testing.assert_array_equal(np.asarray(ia)[:, 1:3],
-                                  np.asarray(ib)[:, 1:3])
-
-
 def test_subblock_respects_active_mask():
     """Dead rays must neither open nodes nor accept hits (best_t = -inf
     entry semantics), and come back with t = BIG."""
