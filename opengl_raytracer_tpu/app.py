@@ -192,6 +192,7 @@ class App:
         fps = 0.0
         delta_time = 0.0
         last_frame_time = time.time()
+        pending = None  # (device accum snapshot, frame_count) to display
 
         while running:
             keys = pg.key.get_pressed()
@@ -251,8 +252,18 @@ class App:
             self.state = self.renderer.step(self.state, self.camera,
                                             lambertian=self.lambertian)
 
-            if self.state.tile_x == 0 and self.state.tile_y == 0:
-                img = to_uint8(self.image())
+            # Display pipelining: ``step`` only DISPATCHES device work, so
+            # blit the previous sweep's snapshot now — the host-side
+            # readback + uint8 + surface scale (~tens of ms at 1080p)
+            # overlaps this sweep's device compute instead of serializing
+            # with it.  The snapshot is a cheap on-device copy taken at
+            # sweep end (the functional analog of the reference's FBO
+            # ping-pong: display one buffer while the other renders,
+            # main.py:375-401).
+            if pending is not None:
+                img_dev, frame_count = pending
+                pending = None
+                img = to_uint8(np.asarray(img_dev))
                 frame = pg.surfarray.make_surface(img.transpose(1, 0, 2))
                 frame = pg.transform.scale(frame, self.screen_size)
                 surface.blit(frame, (0, 0))
@@ -263,10 +274,15 @@ class App:
                 last_frame_time = time.time()
                 pg.display.set_caption(
                     f"TPU raytracer! Fps: {round(fps)} "
-                    f"Frame: {self.state.frame_count} "
+                    f"Frame: {frame_count} "
                     f"Frame render time: {round(delta_time * 1000)}ms "
                     f"Total render time: {self.get_time()}"
                 )
+
+            if self.state.tile_x == 0 and self.state.tile_y == 0:
+                # On-device snapshot (async): the next step donates
+                # state.accum, so the display reads this copy instead.
+                pending = (self.state.accum + 0.0, self.state.frame_count)
 
         # Exit screenshot after long runs (reference main.py:432-439).
         if time.time() - self.time_start > 10 * 60:
