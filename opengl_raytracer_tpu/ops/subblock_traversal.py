@@ -275,10 +275,19 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
             # windows: grid-indexed inputs are DOUBLE-BUFFERED by the
             # pipeline, so each dropped array saves 2 window buffers
             # (3.1 MB at the 1024-packet pool -- the difference between
-            # fitting and blowing the 16 MB scoped-VMEM budget)
-            si_x[dst] = 1.0 / dx[src]
-            si_y[dst] = 1.0 / dy[src]
-            si_z[dst] = 1.0 / dz[src]
+            # fitting and blowing the 16 MB scoped-VMEM budget).
+            # Clamped to +-1e18 (finite-huge): the FMA slab form below
+            # computes b*inv - o*inv, and an IEEE-inf inv would turn
+            # same-sign b, o into inf - inf = NaN (a silent cull) for
+            # axis-parallel rays; at <= 1e18 the products stay finite for
+            # any sane scene extent and the slab semantics are unchanged
+            # (parallel-outside -> near = +huge miss, parallel-inside ->
+            # unconstrained).  The reference's (b - o) * inf form
+            # (fragment.glsl:183-188) NaN-culls only the measure-zero
+            # b == o case; the clamp handles even that correctly.
+            si_x[dst] = jnp.clip(1.0 / dx[src], -1e18, 1e18)
+            si_y[dst] = jnp.clip(1.0 / dy[src], -1e18, 1e18)
+            si_z[dst] = jnp.clip(1.0 / dz[src], -1e18, 1e18)
             st0[dst] = t0[src]
             # the pool-dry flag crosses to the vector side through memory
             # (Mosaic has no dynamic-scalar lane broadcast)
@@ -364,16 +373,41 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         )
 
         # ---- 5. expand: 8 children, slot j at lanes [j*6, j*6+6) ----
+        # Slab form (_FMA_EXPAND): b*inv - o*inv with o*inv hoisted out
+        # of the child loop — the naive (b - o)*inv is sub-then-mul,
+        # which is NOT an FMA pattern, so each bound costs two VPU
+        # issues; the hoisted form is one fused multiply-sub per bound
+        # (96 ops -> 48 + 3 hoisted muls per expand).  Equal to the
+        # reference's (boxMin - origin) * invDir (fragment.glsl:183-188)
+        # up to one rounding: the slab entry/exit only GATE traversal
+        # (hit t comes from the exact triangle test), and the wide-node
+        # tree already orders visits differently from the reference's
+        # binary BVH, so near-tie pruning flips are within the goldens'
+        # isolated-outlier tolerance.  Requires the FINITE clamped
+        # inverses from the serve phase (inf*b - inf*o would NaN for
+        # same-sign bounds).  A/B: experiments/fma_ab.py.
+        oi_x = o_x * inv_x
+        oi_y = o_y * inv_y
+        oi_z = o_z * inv_z
+
         def expand(nrow_k, gate):
             bit_terms = []
             for j in range(8):
                 b = j * 6
-                t1x = (nrow_k[:, b + 0:b + 1] - o_x) * inv_x
-                t1y = (nrow_k[:, b + 1:b + 2] - o_y) * inv_y
-                t1z = (nrow_k[:, b + 2:b + 3] - o_z) * inv_z
-                t2x = (nrow_k[:, b + 3:b + 4] - o_x) * inv_x
-                t2y = (nrow_k[:, b + 4:b + 5] - o_y) * inv_y
-                t2z = (nrow_k[:, b + 5:b + 6] - o_z) * inv_z
+                if _FMA_EXPAND:
+                    t1x = nrow_k[:, b + 0:b + 1] * inv_x - oi_x
+                    t1y = nrow_k[:, b + 1:b + 2] * inv_y - oi_y
+                    t1z = nrow_k[:, b + 2:b + 3] * inv_z - oi_z
+                    t2x = nrow_k[:, b + 3:b + 4] * inv_x - oi_x
+                    t2y = nrow_k[:, b + 4:b + 5] * inv_y - oi_y
+                    t2z = nrow_k[:, b + 5:b + 6] * inv_z - oi_z
+                else:
+                    t1x = (nrow_k[:, b + 0:b + 1] - o_x) * inv_x
+                    t1y = (nrow_k[:, b + 1:b + 2] - o_y) * inv_y
+                    t1z = (nrow_k[:, b + 2:b + 3] - o_z) * inv_z
+                    t2x = (nrow_k[:, b + 3:b + 4] - o_x) * inv_x
+                    t2y = (nrow_k[:, b + 4:b + 5] - o_y) * inv_y
+                    t2z = (nrow_k[:, b + 5:b + 6] - o_z) * inv_z
                 near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
                                                jnp.minimum(t1y, t2y)),
                                    jnp.minimum(t1z, t2z))
@@ -537,6 +571,9 @@ def _on_tpu() -> bool:
         d.platform in ("tpu", "axon") for d in jax.devices()
     )
 
+
+_FMA_EXPAND = True  # slab test as b*inv - o*inv (one FMA/bound) instead
+                    # of (b - o)*inv (sub + mul); A/B flag, see expand()
 
 LEAF_POPS = 2       # octets drained per iteration (2 or 3); the kernel
                     # packs the 2nd+3rd octet indices into one i32, sound
