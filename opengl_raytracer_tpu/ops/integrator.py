@@ -131,8 +131,12 @@ def scatter(seed, normal, ray_dir, roughness, lambertian):
 def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
              lambertian, reorder: bool = False, sort_window: int = 0,
              sort_every: int = 1,
-             fused_shade: bool = False, interpret_shade: bool = False):
+             fused_shade: bool = False, interpret_shade: bool = False,
+             return_seed: bool = True):
     """One path per ray: returns (incoming_light 3x(R,) tuple, new_seed).
+
+    ``return_seed=False`` (single-sample callers) drops the seed from the
+    restore sort and returns None for it.
 
     ``origin0``/``dir0`` may be (R, 3) arrays or 3-tuples of (R,) columns.
 
@@ -306,10 +310,19 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         # Windowed sorts never move a ray across its window, so the
         # restore can be windowed too.  (``incoming`` is already complete
         # here: the origin-column fold is purely a sort-transport trick,
-        # unpacked immediately after each sort.)
-        _, i0, i1, i2, seed = _wsort(
-            (orig, incoming[0], incoming[1], incoming[2], seed),
-        )
+        # unpacked immediately after each sort.)  The seed column rides
+        # only when the caller needs it (rays_per_pixel > 1 chains the
+        # RNG across samples); each bitonic payload column costs ~1.3 ms
+        # at 2M rays, and XLA does not DCE dead sort operands.
+        if return_seed:
+            _, i0, i1, i2, seed = _wsort(
+                (orig, incoming[0], incoming[1], incoming[2], seed),
+            )
+        else:
+            _, i0, i1, i2 = _wsort(
+                (orig, incoming[0], incoming[1], incoming[2]),
+            )
+            seed = None
         incoming = (i0, i1, i2)
     return incoming, seed
 
@@ -337,8 +350,11 @@ def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         interpret_shade=interpret_shade,
     )
     if rays_per_pixel == 1:
-        color, seed = run(seed0=seed0)
-        return jnp.stack(color, axis=-1), seed
+        # The per-pixel seed dies here (each frame reseeds from
+        # (x, y, frameNumber), fragment.glsl:390) — skip its restore-sort
+        # column and return the pre-restore seed for API compatibility.
+        color, seed = run(seed0=seed0, return_seed=False)
+        return jnp.stack(color, axis=-1), seed if seed is not None else seed0
 
     def body(seed, _):
         color, seed = run(seed0=seed)

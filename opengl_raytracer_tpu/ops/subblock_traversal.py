@@ -153,15 +153,19 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
      cnt, pkt_ids) = rest[node_pops + leaf_pops:]
     # node stack lanes double with dual node pops (see _raycast_one_part)
     sn_lanes = stack_n.shape[-1]
-    lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, sn_lanes), 1)
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L), 1)
+    _sdt = stack_n.dtype                 # int16 when _STACK_I16 (packed)
+    _s0 = _sdt.type(0)
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (_SUB, sn_lanes),
+                                      1).astype(_sdt)
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (_SUB, STACK_L),
+                                      1).astype(_sdt)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
 
     cnt[0] = jnp.int32(0)
     for r in range(_SCR):
         pkt_ids[r] = jnp.int32(-1)
-    stack_n[:] = jnp.zeros((_SUB, sn_lanes), jnp.int32)
-    stack_l[:] = jnp.zeros((_SUB, STACK_L), jnp.int32)
+    stack_n[:] = jnp.zeros((_SUB, sn_lanes), _sdt)
+    stack_l[:] = jnp.zeros((_SUB, STACK_L), _sdt)
     # Claims stop at the live-packet limit (dead-packet skipping): packets
     # past the last live one in this grid step are never claimed, so their
     # output rows are never served — initialize t to the miss sentinel so
@@ -198,18 +202,24 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
             spl1 = spl1 - a.astype(jnp.int32)
         sn_t = stack_n[:]
         sl_t = stack_l[:]
+        sdt = sn_t.dtype
         # node k pops from lane spn - 1 - k (gated): lane spn - act_n is
-        # spn - 1 when popping, a gated don't-care otherwise
+        # spn - 1 when popping, a gated don't-care otherwise.  One-hot
+        # selects run at the stack dtype; the single-lane sums extract to
+        # i32 (a one-hot sum cannot overflow any integer dtype).
         sp_a = spn - act_ns[0].astype(jnp.int32)
-        e_ns = [jnp.sum(jnp.where(lane_n == sp_a, sn_t, 0), axis=1,
-                        keepdims=True)]
+        e_ns = [jnp.sum(jnp.where(lane_n == sp_a.astype(sdt), sn_t, _s0),
+                        axis=1, keepdims=True, dtype=jnp.int32)]
         if node_pops == 2:
-            sp_b = sp_a - act_ns[1].astype(jnp.int32)
+            # gate folded into the position: ungated rows get sentinel -1
+            sp_b = jnp.where(act_ns[1], sp_a - 1, -1)
             e_ns.append(jnp.sum(
-                jnp.where((lane_n == sp_b) & act_ns[1], sn_t, 0),
-                axis=1, keepdims=True))
-        e_ls = [jnp.sum(jnp.where(lane_l == (spl - 1 - k), sl_t, 0), axis=1,
-                        keepdims=True) for k in range(leaf_pops)]
+                jnp.where(lane_n == sp_b.astype(sdt), sn_t, _s0),
+                axis=1, keepdims=True, dtype=jnp.int32))
+        e_ls = [jnp.sum(jnp.where(lane_l == (spl - 1 - k).astype(sdt),
+                                  sl_t, _s0),
+                        axis=1, keepdims=True, dtype=jnp.int32)
+                for k in range(leaf_pops)]
         idx_ns = [jnp.clip(jnp.where(act_ns[k], e_ns[k], 0), 0, n_wide - 1)
                   for k in range(node_pops)]
         idx_ls = [jnp.clip(jnp.where(act_ls[k], -e_ls[k] - 1, 0), 0,
@@ -488,11 +498,23 @@ def _traverse_kernel(*refs, n_wide: int, n_oct: int, pool: int,
         # Positions are strictly increasing per row, so the one-hot masks
         # are disjoint: sum-combine is exact.  Each term is independent —
         # the adds reduce as a tree instead of a serial select chain.
-        dn = [jnp.where((lane_n == posn_b[:, i:i + 1]) & pnb[:, i:i + 1],
-                        entb[:, i:i + 1] - sn_t, 0)
+        # The push gate is FOLDED into the position (ungated candidates
+        # get sentinel -1, which no lane matches): one full-stack-width
+        # compare per term instead of compare + AND.  The narrow (64,
+        # ncand) gate/position math stays i32; only the stack-width
+        # one-hots run at the stack dtype (int16 when _STACK_I16 — all
+        # stack values fit: node indices < 2^14, leaf entries > -2^14-1,
+        # positions < 256 — so packed 16-bit lanes halve the vreg count
+        # of the widest phase).
+        sdt = sn_t.dtype
+        posn_m = jnp.where(pnb, posn_b, -1).astype(sdt)
+        posl_m = jnp.where(plb, posl_b, -1).astype(sdt)
+        entb_s = entb.astype(sdt)
+        dn = [jnp.where(lane_n == posn_m[:, i:i + 1],
+                        entb_s[:, i:i + 1] - sn_t, _s0)
               for i in range(ncand)]
-        dl = [jnp.where((lane_l == posl_b[:, i:i + 1]) & plb[:, i:i + 1],
-                        entb[:, i:i + 1] - sl_t, 0)
+        dl = [jnp.where(lane_l == posl_m[:, i:i + 1],
+                        entb_s[:, i:i + 1] - sl_t, _s0)
               for i in range(ncand)]
         while len(dn) > 1:
             dn = [dn[k] + dn[k + 1] for k in range(0, len(dn), 2)]
@@ -574,6 +596,17 @@ def _on_tpu() -> bool:
 
 _FMA_EXPAND = True  # slab test as b*inv - o*inv (one FMA/bound) instead
                     # of (b - o)*inv (sub + mul); A/B flag, see expand()
+_STACK_I16 = False  # per-row stacks in packed int16 lanes: every stack
+                    # value fits (node indices < 2^14, leaf entries
+                    # > -2^14-1, positions < 256) and 16-bit packing
+                    # would halve the push one-hot storm's vreg count,
+                    # but v5e Mosaic REJECTS packed 16-bit integer
+                    # compares ("Target does not support this
+                    # comparison", 2026-08-18) — CLOSED by hardware
+                    # capability.  Interpret-mode parity holds; keep the
+                    # flag for future TPU generations.
+                    # (bf16 lanes can't carry the values: bf16 integers
+                    # are exact only to 256, node indices reach 2^14.)
 
 LEAF_POPS = 2       # octets drained per iteration (2 or 3); the kernel
                     # packs the 2nd+3rd octet indices into one i32, sound
@@ -773,8 +806,10 @@ def _raycast_one_part(node_rows, tri_rows, remap, origin, direction,
             jax.ShapeDtypeStruct((grid * _SUB, _LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_SUB, STACK_N * node_pops), jnp.int32),
-            pltpu.VMEM((_SUB, STACK_L), jnp.int32),
+            pltpu.VMEM((_SUB, STACK_N * node_pops),
+                       jnp.int16 if _STACK_I16 else jnp.int32),
+            pltpu.VMEM((_SUB, STACK_L),
+                       jnp.int16 if _STACK_I16 else jnp.int32),
         ] + [pltpu.VMEM((_SUB, _LANE), f32)] * node_pops  # node_scr[k]
           + [pltpu.VMEM((_SUB, _LANE), f32)] * leaf_pops  # tri_scr[k]
           + [pltpu.VMEM((_SUB, _LANE), jnp.int32)]    # xfer
