@@ -25,6 +25,12 @@ kernel: the serve/claim block costs nothing in context; the vector
 phases are issue-bound and near their op-count floor; the only
 iteration-cost lever left was amortizing the serial spine over more
 rows (8 -> 64).
+  leaf2_fakediv (round 4): leaf2 with the 16 per-triangle 1.0/det
+divides replaced by a mul — a pure cost probe.  MEASURED at SUB=64:
+leaf2 3818 vs fakediv 3846 ns/iter (expand 2028) — the divides are
+FREE on v5e (Mosaic pipelines them like muls), so a division-free
+rational Moller-Trumbore (deferred-divide t/u/v with det-space
+compares) has NOTHING to win: direction closed without building it.
   pops       : loads + dual-stack one-hot pops + index arithmetic
   all        : loads + pops + expand + push + leaf2 (~ the real body
                minus serve machinery)
@@ -77,7 +83,12 @@ def make_kernel(variant):
     do_push = variant == "push"
     do_push2 = variant in ("push2", "all2", "all3", "allserve")
     do_leaf1 = variant in ("leaf1",)
-    do_leaf2 = variant in ("leaf2", "all", "all2", "all3", "allserve")
+    do_leaf2 = variant in ("leaf2", "leaf2_fakediv",
+                           "all", "all2", "all3", "allserve")
+    # leaf2_fakediv: the dual-octet leaf phase with the 16 per-triangle
+    # f32 divides (1.0/det) replaced by a same-shape mul — a pure COST
+    # probe (wrong math) isolating what the divides cost per iteration.
+    fake_div = variant == "leaf2_fakediv"
     do_serve = variant == "allserve"
 
     def kern(iters_ref, ox, node_rows, tri_rows, t_out,
@@ -372,7 +383,7 @@ def make_kernel(variant):
                                       trow_k[:, b + 10:b + 11],
                                       trow_k[:, b + 11:b + 12])
                         det = d_x * fx + d_y * fy + d_z * fz
-                        inv_det = 1.0 / det
+                        inv_det = det * 1e-6 if fake_div else 1.0 / det
                         rx = o_x - v0x
                         ry = o_y - v0y
                         rz = o_z - v0z

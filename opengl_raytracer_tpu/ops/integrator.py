@@ -164,8 +164,19 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     if sort_window and (R % sort_window or R <= sort_window):
         sort_window = 0  # fall back to the global sort
 
-    def _wsort(operands, num_keys=1):
-        """lax.sort, optionally batched into sort_window-ray windows."""
+    # The exact global multi-operand sort is at its floor: a 2M x 12 f32
+    # bitonic network is ~12.5 ms of pure VPU issue slots and XLA's
+    # in-frame sort measures 13.7 ms.  Approximate row-clustering
+    # alternatives (per-lane sublane sorts, which cost ~half and are flat
+    # in operand count) were measured and CLOSED in round 4: quantile
+    # noise of ~0.4% of ray mass per packet balloons kernel time 570 ->
+    # 1634 ms/frame, and a lane+windowed-refinement hybrid still loses 8%
+    # (experiments/psort_axis.py, psort_frame_ab.py).
+    def _wsort(operands, num_keys=1, exact=False):
+        """lax.sort, optionally batched into sort_window-ray windows.
+        ``exact`` marks the pixel-order restore (must be a true sort; kept
+        as a parameter so approximate reorder modes stay pluggable)."""
+        del exact
         if not sort_window:
             return jax.lax.sort(operands, num_keys=num_keys)
         n_win = R // sort_window
@@ -317,10 +328,12 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         if return_seed:
             _, i0, i1, i2, seed = _wsort(
                 (orig, incoming[0], incoming[1], incoming[2], seed),
+                exact=True,
             )
         else:
             _, i0, i1, i2 = _wsort(
                 (orig, incoming[0], incoming[1], incoming[2]),
+                exact=True,
             )
             seed = None
         incoming = (i0, i1, i2)
