@@ -132,11 +132,23 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
              lambertian, reorder: bool = False, sort_window: int = 0,
              sort_every: int = 1,
              fused_shade: bool = False, interpret_shade: bool = False,
-             return_seed: bool = True):
+             return_seed: bool = True, seed_recon=None):
     """One path per ray: returns (incoming_light 3x(R,) tuple, new_seed).
 
     ``return_seed=False`` (single-sample callers) drops the seed from the
     restore sort and returns None for it.
+
+    ``seed_recon(orig, n_draws)`` (optional) recomputes a ray's RNG state
+    arithmetically from its original index: an ALIVE ray at bounce i has
+    hit exactly i times (alive requires was_hit at every earlier bounce),
+    so its state is the initial per-pixel seed advanced a STATIC number
+    of draws — the LCG composes in closed form (rng.advance_n).  When
+    given (and the final seed is not returned), the reorder sort drops
+    the seed column (~1.3 ms per 2M-ray sort) and recomputes it after
+    each sort instead (~10 int ops/ray).  Dead rays get garbage states —
+    harmless: every later draw they feed is was_hit/alive-masked.  Only
+    callers whose pixel/frame assignment is an arithmetic function of the
+    original index may pass this (renderer._tile_step's row-major bands).
 
     ``origin0``/``dir0`` may be (R, 3) arrays or 3-tuples of (R,) columns.
 
@@ -230,14 +242,28 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
             #    are clamped below it (ops/morton.py).
             merged = tuple(jnp.where(alive, origin[a], incoming[a])
                            for a in range(3))
-            (keys_s, m0, m1, m2, d0, d1, d2, c0, c1, c2,
-             seed, orig) = _wsort(
-                (keys,
-                 merged[0], merged[1], merged[2],
-                 direction[0], direction[1], direction[2],
-                 ray_color[0], ray_color[1], ray_color[2],
-                 seed, orig),
-            )
+            recon = seed_recon is not None and not return_seed
+            if recon:
+                # 11 operands: the seed column is recomputed from orig
+                # after the sort (see the docstring) instead of carried.
+                (keys_s, m0, m1, m2, d0, d1, d2, c0, c1, c2,
+                 orig) = _wsort(
+                    (keys,
+                     merged[0], merged[1], merged[2],
+                     direction[0], direction[1], direction[2],
+                     ray_color[0], ray_color[1], ray_color[2],
+                     orig),
+                )
+                seed = seed_recon(orig, 3 * static_i)
+            else:
+                (keys_s, m0, m1, m2, d0, d1, d2, c0, c1, c2,
+                 seed, orig) = _wsort(
+                    (keys,
+                     merged[0], merged[1], merged[2],
+                     direction[0], direction[1], direction[2],
+                     ray_color[0], ray_color[1], ray_color[2],
+                     seed, orig),
+                )
             alive = keys_s != np.uint32(0xFFFFFFFF)
             # Dead lanes keep their (finite) incoming values in the
             # origin slots; the raycast masks them out and every origin
@@ -343,7 +369,8 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
 def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
           rays_per_pixel: int, lambertian, reorder: bool = False,
           sort_window: int = 0, sort_every: int = 1,
-          fused_shade: bool = False, interpret_shade: bool = False):
+          fused_shade: bool = False, interpret_shade: bool = False,
+          seed_recon=None):
     """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366).
 
     Returns ((R, 3) color, new_seed); inputs may be AoS or SoA."""
@@ -361,6 +388,7 @@ def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         sort_every=sort_every,
         fused_shade=fused_shade,
         interpret_shade=interpret_shade,
+        seed_recon=seed_recon,
     )
     if rays_per_pixel == 1:
         # The per-pixel seed dies here (each frame reseeds from

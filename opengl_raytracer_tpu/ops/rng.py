@@ -52,6 +52,26 @@ def warmup(state: jnp.ndarray, n: int = 3) -> jnp.ndarray:
     return state
 
 
+def advance_constants(n: int) -> tuple[np.uint32, np.uint32]:
+    """(A_n, C_n) such that ``advance_n(s, n) == s * A_n + C_n`` equals n
+    sequential LCG state advances (the draw's output scramble never feeds
+    the state, so the state recurrence is the pure LCG s' = s*M + A and
+    composes in closed form mod 2^32).  Host-side statics."""
+    a, c = 1, 0
+    m, add = int(_LCG_MUL), int(_LCG_ADD)
+    for _ in range(int(n)):
+        a = (a * m) % (1 << 32)
+        c = (c * m + add) % (1 << 32)
+    return _U(a), _U(c)
+
+
+def advance_n(state: jnp.ndarray, n: int) -> jnp.ndarray:
+    """State after ``n`` draws (static n), without producing the values —
+    bit-identical to n ``random_value`` state updates."""
+    a_n, c_n = advance_constants(n)
+    return state * a_n + c_n
+
+
 def random_vec3(state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Three sequential draws -> (new_state, (..., 3) array), matching the
     component order of ``diffuse`` (fragment.glsl:221)."""

@@ -144,11 +144,39 @@ class RenderState:
 def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
                   frame_number, sky_brightness, jitter_amount, lambertian,
                   px, py, raycast_fn, reorder: bool = False,
-                  fused_shade: bool = False, interpret_shade: bool = False):
+                  fused_shade: bool = False, interpret_shade: bool = False,
+                  recon=None):
     """Trace a flat batch of pixels; px/py int32 (R,), py in GL convention
-    (0 = bottom row).  Returns (R, 3) linear color."""
+    (0 = bottom row).  Returns (R, 3) linear color.
+
+    ``recon`` (optional) describes this batch's pixel assignment as an
+    arithmetic function of the ray index: ``(base, col0, py0, band_w,
+    n_band, frame0)`` with ``g = base + i``; ``frame = frame0 +
+    g // n_band`` and ``g %= n_band`` under frame batching; ``px = col0 +
+    g % band_w``, ``py = py0 + g // band_w``.  When given (and
+    rays_per_pixel == 1), the integrator's reorder sorts drop their seed
+    column and recompute the RNG state from the sorted original index
+    instead — the state is the per-pixel seed advanced a static number of
+    draws (3 warm-ups + 2 jitter draws here + 3 per completed bounce),
+    and the LCG advance composes in closed form (rng.advance_n)."""
     seed = rng.seed_pixels(px, py, frame_number)
     seed = rng.warmup(seed, 3)
+
+    seed_recon = None
+    if recon is not None and config.rays_per_pixel == 1:
+        base, col0, py0, band_w, n_band, frame0 = recon
+
+        def seed_recon(orig, n_draws):
+            g = base + orig
+            if config.frames_per_step > 1:
+                frame = frame0 + g // n_band
+                g = g % n_band
+            else:
+                frame = frame0
+            rpx = col0 + g % band_w
+            rpy = py0 + g // band_w
+            s = rng.seed_pixels(rpx, rpy, frame)
+            return rng.advance_n(s, 5 + n_draws)
 
     u, v = pixel_uv(px, py, config.width, config.height)
     d = ray_dirs_soa(camera, u, v, config.width, config.height,
@@ -185,14 +213,19 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         sort_every=config.sort_every,
         fused_shade=fused_shade,
         interpret_shade=interpret_shade,
+        seed_recon=seed_recon,
     )
     return color
 
 
 def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
                 frame_count, sky_brightness, jitter_amount, lambertian,
-                px, py, raycast_fn, traversal: str):
+                px, py, raycast_fn, traversal: str, recon=None):
     """Chunked render of a flat pixel list -> (R, 3) colors.
+
+    ``recon``: optional ``(col0, py0, band_w, n_band, frame0)`` seed
+    reconstruction descriptor (see render_pixels); the per-chunk ray base
+    is prepended here.
 
     The Pallas paths keep all per-ray state in-kernel, so whole-frame
     chunks amortize fixed costs and let the coherence sort work globally;
@@ -232,26 +265,33 @@ def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
     else:
         fused_shade, interpret_shade = False, False
 
-    def body(px_c, py_c, frame_c):
+    def body(px_c, py_c, frame_c, base=None):
+        rec = None
+        if recon is not None:
+            b = jnp.int32(0) if base is None else base
+            rec = (b,) + tuple(recon)
         return render_pixels(
             scene, config, camera, frame_c, sky_brightness, jitter_amount,
             lambertian, px_c, py_c, raycast_fn=raycast_fn,
             reorder=traversal in ("packet", "pallas", "pallas2"),
             fused_shade=fused_shade, interpret_shade=interpret_shade,
+            recon=rec,
         )
 
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * jnp.int32(chunk)
     if n_chunks == 1:
         colors = body(px, py, frame_count)
     elif frame_is_array:
         colors = jax.lax.map(
-            lambda xs: body(xs[0], xs[1], xs[2]),
+            lambda xs: body(xs[0], xs[1], xs[2], xs[3]),
             (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk),
-             frame_count.reshape(n_chunks, chunk)),
+             frame_count.reshape(n_chunks, chunk), bases),
         ).reshape(-1, 3)
     else:
         colors = jax.lax.map(
-            lambda xs: body(xs[0], xs[1], frame_count),
-            (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk)),
+            lambda xs: body(xs[0], xs[1], frame_count, xs[2]),
+            (px.reshape(n_chunks, chunk), py.reshape(n_chunks, chunk),
+             bases),
         ).reshape(-1, 3)
     return colors[:R]
 
@@ -311,9 +351,19 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     else:
         frame_arr = frame_count
 
+    # Seed-reconstruction descriptor: the band's pixel assignment is an
+    # arithmetic function of the ray index (row-major band + F-fold frame
+    # repeat), so the integrator's reorder sorts can drop the seed column
+    # (render_pixels docstring).  The packet path's 8x16 block permutation
+    # breaks the affine form, so it keeps the carried seed.
+    recon = None
+    if not use_blocks and config.rays_per_pixel == 1:
+        recon = (col0, py0, jnp.int32(tw), jnp.int32(n_band),
+                 jnp.asarray(frame_count, jnp.int32))
+
     colors = render_flat(scene, config, camera, frame_arr, sky_brightness,
                          jitter_amount, lambertian, px, py, raycast_fn,
-                         traversal)
+                         traversal, recon=recon)
     if F > 1:
         colors = colors.reshape(F, n_band, 3).sum(axis=0)
     if use_blocks:

@@ -294,3 +294,24 @@ def test_sort_window_bit_identical():
                       sort_window=64)
     b, _, _ = run_jax(objs, frames=1, bounces=3, traversal="packet")
     np.testing.assert_array_equal(a, b)
+
+
+def test_seed_reconstruction_bit_identical(monkeypatch):
+    """The reorder sort's seed column can be recomputed from the sorted
+    original index (alive rays hit every bounce, so their draw count is
+    static); images must be bit-identical to the carried-seed path."""
+    import opengl_raytracer_tpu.renderer as rmod
+
+    objs = cornellish_objects()
+    # w=24, h=20 disables the packet path's 8x16 block permutation, so the
+    # affine seed reconstruction is active by default.
+    a, _, _ = run_jax(objs, frames=2, bounces=3, traversal="packet")
+
+    orig_rf = rmod.render_flat
+
+    def rf_norecon(*args, recon=None, **kw):
+        return orig_rf(*args, recon=None, **kw)
+
+    monkeypatch.setattr(rmod, "render_flat", rf_norecon)
+    b, _, _ = run_jax(objs, frames=2, bounces=3, traversal="packet")
+    np.testing.assert_array_equal(a, b)

@@ -45,3 +45,16 @@ def test_warmup_equals_three_draws():
     for _ in range(3):
         manual, _ = rng.random_value(manual)
     assert int(rng.warmup(s0)[0]) == int(manual[0])
+
+
+def test_advance_n_closed_form():
+    """advance_n(s, n) must equal n sequential random_value state updates
+    (the LCG composes in closed form; used by the integrator's
+    seed-reconstruction to drop the sort's seed column)."""
+    s0 = jnp.asarray([0, 1, 99, 0xFFFFFFFF], dtype=jnp.uint32)
+    for n in (0, 1, 2, 5, 8, 17):
+        manual = s0
+        for _ in range(n):
+            manual, _ = rng.random_value(manual)
+        np.testing.assert_array_equal(
+            np.asarray(rng.advance_n(s0, n)), np.asarray(manual))
