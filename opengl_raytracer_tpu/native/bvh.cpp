@@ -9,9 +9,14 @@
 //              to an even index split when degenerate.  Matches the numpy
 //              twin in ops/bvh.py (kept as the readable spec, the same way
 //              the reference keeps scene.py:274-421 beside the Cython).
-//   method 1 — binned SAH (16 bins on the largest centroid axis): picks the
-//              split minimizing surface-area * count, typically 2-3x fewer
-//              node visits at trace time.  Leaf cap still enforced.
+//   method 1 — binned SAH (16 bins, ALL THREE axes, binned by triangle-box
+//              centers): picks the (axis, bin) split minimizing
+//              surface-area * count.  The earlier largest-centroid-axis-only
+//              sweep cost ~13% more packet iterations in the calibrated
+//              traversal simulator (experiments/sbvh_sim.py: 47.9 vs 55.1
+//              iters/packet on 1080p bounce-2 packets); spatial splits
+//              (SBVH) measured a LOSS there (+15% octet pops at 1.11x
+//              reference duplication), so object splits stay.
 //
 // C ABI for ctypes; caller allocates 2T-sized node arrays (a binary BVH with
 // non-empty leaves has < 2T nodes).
@@ -96,19 +101,19 @@ struct Builder {
 
     // Returns the split point in [lo+1, hi-1], or -1 to request even split.
     long long choose_split(long long lo, long long hi) {
-        // Centroid bounds + largest axis.
-        AABB cb;
-        for (long long i = lo; i < hi; ++i) cb.grow(&centroid[(size_t)work[(size_t)i] * 3]);
-        int axis = 0;
-        float ext = cb.hi[0] - cb.lo[0];
-        for (int a = 1; a < 3; ++a) {
-            float e = cb.hi[a] - cb.lo[a];
-            if (e > ext) { ext = e; axis = a; }
-        }
-        if (!(ext > 0.0f)) return -1;
-
         long long* w = work.data();
         if (method == 0) {
+            // Centroid bounds + largest axis (the reference's rule).
+            AABB cb;
+            for (long long i = lo; i < hi; ++i)
+                cb.grow(&centroid[(size_t)work[(size_t)i] * 3]);
+            int axis = 0;
+            float ext = cb.hi[0] - cb.lo[0];
+            for (int a = 1; a < 3; ++a) {
+                float e = cb.hi[a] - cb.lo[a];
+                if (e > ext) { ext = e; axis = a; }
+            }
+            if (!(ext > 0.0f)) return -1;
             // Mean split (the reference's rule, boundingBoxes.pyx:169-175).
             double sum = 0.0;
             for (long long i = lo; i < hi; ++i) sum += centroid[(size_t)w[i] * 3 + axis];
@@ -121,47 +126,69 @@ struct Builder {
             return m;
         }
 
-        // Binned SAH.
-        float scale = (float)kBins / ext;
-        float base = cb.lo[axis];
-        int counts[kBins] = {0};
-        AABB bins[kBins];
-        auto bin_of = [&](long long t) {
-            int b = (int)((centroid[(size_t)t * 3 + axis] - base) * scale);
-            return std::min(std::max(b, 0), kBins - 1);
+        // Binned SAH, all 3 axes, binned by triangle-box centers.
+        auto center_of = [&](long long t, int a) {
+            const AABB& b = tri_box[(size_t)t];
+            return 0.5f * (b.lo[a] + b.hi[a]);
         };
-        for (long long i = lo; i < hi; ++i) {
-            int b = bin_of(w[i]);
-            counts[b]++;
-            bins[b].grow(tri_box[(size_t)w[i]]);
-        }
-        // Suffix areas/counts.
-        float right_area[kBins];
-        int right_count[kBins];
-        {
+        float best_cost = std::numeric_limits<float>::infinity();
+        int best_axis = -1, best_b = -1;
+        float best_base = 0.0f, best_scale = 0.0f;
+        for (int a = 0; a < 3; ++a) {
+            float cmin = std::numeric_limits<float>::infinity();
+            float cmax = -cmin;
+            for (long long i = lo; i < hi; ++i) {
+                float c0 = center_of(w[i], a);
+                cmin = std::min(cmin, c0);
+                cmax = std::max(cmax, c0);
+            }
+            if (!(cmax > cmin)) continue;
+            float scale = (float)kBins / (cmax - cmin);
+            int counts[kBins] = {0};
+            AABB bins[kBins];
+            for (long long i = lo; i < hi; ++i) {
+                int b = (int)((center_of(w[i], a) - cmin) * scale);
+                b = std::min(std::max(b, 0), kBins - 1);
+                counts[b]++;
+                bins[b].grow(tri_box[(size_t)w[i]]);
+            }
+            float right_area[kBins];
+            int right_count[kBins];
+            {
+                AABB acc;
+                int c = 0;
+                for (int b = kBins - 1; b >= 1; --b) {
+                    acc.grow(bins[b]);
+                    c += counts[b];
+                    right_area[b] = acc.area();
+                    right_count[b] = c;
+                }
+            }
             AABB acc;
             int c = 0;
-            for (int b = kBins - 1; b >= 1; --b) {
+            for (int b = 0; b < kBins - 1; ++b) {
                 acc.grow(bins[b]);
                 c += counts[b];
-                right_area[b] = acc.area();
-                right_count[b] = c;
+                if (c == 0 || right_count[b + 1] == 0) continue;
+                float cost = acc.area() * (float)c
+                             + right_area[b + 1] * (float)right_count[b + 1];
+                if (cost < best_cost) {
+                    best_cost = cost;
+                    best_axis = a;
+                    best_b = b;
+                    best_base = cmin;
+                    best_scale = scale;
+                }
             }
         }
-        AABB acc;
-        int c = 0;
-        float best_cost = std::numeric_limits<float>::infinity();
-        int best_b = -1;
-        for (int b = 0; b < kBins - 1; ++b) {
-            acc.grow(bins[b]);
-            c += counts[b];
-            if (c == 0 || right_count[b + 1] == 0) continue;
-            float cost = acc.area() * (float)c + right_area[b + 1] * (float)right_count[b + 1];
-            if (cost < best_cost) { best_cost = cost; best_b = b; }
-        }
-        if (best_b < 0) return -1;
+        if (best_axis < 0) return -1;
         long long* mid = std::partition(
-            w + lo, w + hi, [&](long long t) { return bin_of(t) <= best_b; });
+            w + lo, w + hi, [&](long long t) {
+                int b = (int)((center_of(t, best_axis) - best_base)
+                              * best_scale);
+                b = std::min(std::max(b, 0), kBins - 1);
+                return b <= best_b;
+            });
         long long m = mid - w;
         if (m == lo || m == hi) return -1;
         return m;
