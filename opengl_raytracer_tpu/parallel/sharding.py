@@ -100,8 +100,18 @@ def sharded_tile_step(scene, camera, accum, frame_count, tile_x, tile_y,
     def local_band(scene, camera, px, py, frame_count, sky, jit_amt, lam):
         sp_idx = jax.lax.axis_index("sp")
         frame = frame_count + sp_idx
+        # Seed-reconstruction descriptor (render_pixels): each dp shard is
+        # a contiguous slice of the row-major band, so the pixel assignment
+        # stays an arithmetic function of (shard base + local ray index).
+        # The sharded path forbids frames_per_step > 1 (sp replaces it), so
+        # the F branch in the closure never fires.
+        recon = None
+        if config.rays_per_pixel == 1:
+            base0 = jax.lax.axis_index("dp") * jnp.int32(px.shape[0])
+            recon = (base0, col0, py0, jnp.int32(tw),
+                     jnp.int32(th * tw), jnp.asarray(frame, jnp.int32))
         colors = render_flat(scene, config, camera, frame, sky, jit_amt,
-                             lam, px, py, raycast_fn, traversal)
+                             lam, px, py, raycast_fn, traversal, recon=recon)
         return jax.lax.psum(colors, "sp")
 
     # check_vma=False: the traversal while_loop initializes its carries from

@@ -223,9 +223,10 @@ def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
                 px, py, raycast_fn, traversal: str, recon=None):
     """Chunked render of a flat pixel list -> (R, 3) colors.
 
-    ``recon``: optional ``(col0, py0, band_w, n_band, frame0)`` seed
-    reconstruction descriptor (see render_pixels); the per-chunk ray base
-    is prepended here.
+    ``recon``: optional ``(base0, col0, py0, band_w, n_band, frame0)``
+    seed reconstruction descriptor (see render_pixels); ``base0`` is the
+    caller's ray-index offset (0 single-chip; the shard offset under dp
+    sharding) and the per-chunk base is added here.
 
     The Pallas paths keep all per-ray state in-kernel, so whole-frame
     chunks amortize fixed costs and let the coherence sort work globally;
@@ -268,8 +269,8 @@ def render_flat(scene: SceneData, config: RenderConfig, camera: Camera,
     def body(px_c, py_c, frame_c, base=None):
         rec = None
         if recon is not None:
-            b = jnp.int32(0) if base is None else base
-            rec = (b,) + tuple(recon)
+            b = recon[0] + (jnp.int32(0) if base is None else base)
+            rec = (b,) + tuple(recon[1:])
         return render_pixels(
             scene, config, camera, frame_c, sky_brightness, jitter_amount,
             lambertian, px_c, py_c, raycast_fn=raycast_fn,
@@ -358,7 +359,7 @@ def _tile_step(scene: SceneData, camera: Camera, accum, frame_count,
     # breaks the affine form, so it keeps the carried seed.
     recon = None
     if not use_blocks and config.rays_per_pixel == 1:
-        recon = (col0, py0, jnp.int32(tw), jnp.int32(n_band),
+        recon = (jnp.int32(0), col0, py0, jnp.int32(tw), jnp.int32(n_band),
                  jnp.asarray(frame_count, jnp.int32))
 
     colors = render_flat(scene, config, camera, frame_arr, sky_brightness,
