@@ -228,9 +228,10 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
             # bitonic network's data movement is dense vector work).
             keys = ray_sort_keys_soa(origin, direction, scene_lo, scene_hi,
                                      alive)
-            # 12 operands, not 16: each bitonic payload column costs
-            # ~1.3 ms per 2M-ray sort (experiments/sort_cost.py), so
-            # two columns are folded away per axis.
+            # 11 operands (12 without seed reconstruction), not 16: each
+            # bitonic payload column costs ~1.3 ms per 2M-ray sort
+            # (experiments/sort_cost.py), so columns are folded away
+            # wherever an invariant allows.
             #  * ``incoming`` rides in the origin columns: light is only
             #    ever added at the DEATH event (an emissive hit or a
             #    miss both clear ``alive``, fragment.glsl:327-346), so
