@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(main.py:456-468)")
     p.add_argument("--checkpoint", default=None,
                    help="resume from / save to this .npz checkpoint")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the render across N devices (headless; "
+                        "(dp, sp) mesh via parallel.sharding)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh axis (rows); default derived")
+    p.add_argument("--sp", type=int, default=None,
+                   help="sample-parallel mesh axis (frames); default 2 "
+                        "when the device count is even")
     return p
 
 
@@ -78,6 +86,92 @@ def monitor_screen_size(render_height: int) -> tuple[int, int] | None:
     if render_height < mh:
         return (int(mw // 1.15), int(mh // 1.15))
     return (int(render_height * aspect), int(render_height))
+
+
+def _main_sharded(args, scene, cam_pos, cam_dir) -> int:
+    """Headless multi-device render: ShardedRenderer over a (dp, sp) mesh.
+
+    The reference is single-GPU; this is the framework's scale-out path —
+    pixel rows shard over ``dp`` and frame samples over ``sp``, with
+    images bit-matching the sequential renderer (tests/test_sharding.py).
+    """
+    import os
+    import time
+
+    import jax
+    import numpy as np
+
+    # The image's sitecustomize may pre-set jax_platforms, which OVERRIDES
+    # the JAX_PLATFORMS env var — re-apply it so `JAX_PLATFORMS=cpu` really
+    # runs on (virtual) CPU devices (same fix as bench.py).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and jax.config.jax_platforms != plat:
+        jax.config.update("jax_platforms", plat)
+
+    from opengl_raytracer_tpu.models.scene import Scene
+    from opengl_raytracer_tpu.ops.camera import make_camera
+    from opengl_raytracer_tpu.parallel.sharding import (ShardedRenderer,
+                                                        make_mesh)
+    from opengl_raytracer_tpu.presets import (DEFAULT_CAM_DIR,
+                                              DEFAULT_CAM_POS,
+                                              default_objects)
+    from opengl_raytracer_tpu.utils.checkpoint import (load_checkpoint,
+                                                       save_checkpoint)
+    from opengl_raytracer_tpu.utils.config import RenderConfig
+    from opengl_raytracer_tpu.utils.image import save_png
+
+    if scene is None:
+        scene = Scene(default_objects(args.dragon), max_leaf_tris=args.leaf,
+                      bvh_method=args.bvh_method, verbose=True)
+    cfg = RenderConfig(
+        width=args.width, height=args.height, bounces=args.bounces,
+        rays_per_pixel=args.spp, jitter_amount=args.jitter,
+        lambertian=not args.no_lambertian, sky_brightness=args.sky,
+        tile_size=args.tiles, max_leaf_tris=args.leaf,
+        traversal=args.traversal,
+    )
+    mesh = make_mesh(n_devices=args.devices if args.devices > 1 else None,
+                     dp=args.dp, sp=args.sp)
+    print(f"mesh: dp={mesh.shape['dp']} x sp={mesh.shape['sp']} on "
+          f"{mesh.devices.size} {mesh.devices.flat[0].platform} device(s)")
+    r = ShardedRenderer(scene, cfg, mesh)
+
+    cam_pos_arr = np.asarray(
+        cam_pos if cam_pos is not None else DEFAULT_CAM_POS, np.float32)
+    cam_dir_arr = np.asarray(
+        cam_dir if cam_dir is not None else DEFAULT_CAM_DIR, np.float32)
+
+    state = None
+    if args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            loaded, cp, cd = load_checkpoint(args.checkpoint)
+            state = r.restore_state(loaded)
+            if cp is not None:
+                cam_pos_arr = cp.astype(np.float32)
+                cam_dir_arr = cd.astype(np.float32)
+            print(f"Resumed from {args.checkpoint} at frame "
+                  f"{state.frame_count}")
+    camera = make_camera(cam_pos_arr, cam_dir_arr)
+
+    sp = r.frames_per_step
+    frames = -(-args.frames // sp) * sp
+    if frames != args.frames:
+        print(f"frames rounded up to {frames} (multiple of sp={sp})")
+    t0 = time.time()
+    state = r.render(camera=camera, frames=frames, state=state)
+    img = r.image(state)
+    dt = time.time() - t0
+    print(f"{frames} frames in {dt:.1f} s ({frames / dt:.2f} frames/s)")
+
+    out = args.out or "render_sharded.png"
+    save_png(out, img)
+    print(f"Wrote {out}")
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state, cam_pos_arr, cam_dir_arr)
+        print(f"Checkpoint saved to {args.checkpoint}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -124,6 +218,11 @@ def main(argv=None) -> int:
             cam_pos = [0.0, 0.0, 0.0]
         if cam_dir is None:
             cam_dir = [0.0, 0.0]
+
+    if args.devices > 1 or args.dp or args.sp:
+        if args.interactive:
+            raise SystemExit("--devices/--dp/--sp is headless-only")
+        return _main_sharded(args, scene, cam_pos, cam_dir)
 
     screen_size = tuple(args.screen_size) if args.screen_size else None
     if screen_size is None and args.interactive:
