@@ -315,3 +315,24 @@ def test_seed_reconstruction_bit_identical(monkeypatch):
     monkeypatch.setattr(rmod, "render_flat", rf_norecon)
     b, _, _ = run_jax(objs, frames=2, bounces=3, traversal="packet")
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_seed_reconstruction_frames_per_step(monkeypatch):
+    """Seed reconstruction under frame batching (F > 1): the frame number
+    becomes g // n_band in the closure — must stay bit-identical."""
+    import opengl_raytracer_tpu.renderer as rmod
+
+    objs = cornellish_objects()
+    a, _, _ = run_jax(objs, frames=2, bounces=2, traversal="packet",
+                      frames_per_step=2)
+
+    orig_rf = rmod.render_flat
+
+    def rf_norecon(*args, recon=None, **kw):
+        return orig_rf(*args, recon=None, **kw)
+
+    monkeypatch.setattr(rmod, "render_flat", rf_norecon)
+    b, _, _ = run_jax(objs, frames=2, bounces=2, traversal="packet",
+                      frames_per_step=2)
+    np.testing.assert_array_equal(a, b)
