@@ -10,8 +10,10 @@ a higher bounce serve rate buys fewer claim stalls, a lower one saves
 
 Interleaved best-of-N frame-level A/B, one process (process-to-process
 frame drift is ~3%).  Variants patch the module constants BEFORE the
-renderer builds its raycast closure (renderer.py imports them at
-make-time).
+renderer's first step call: the constants are read when _tile_step is
+first jit-TRACED (the first r.step), not at Renderer construction, so
+each variant MUST compile (step + sync) inside the same loop iteration
+that patched them — do not defer the first step past the next re-patch.
 
 Usage: python experiments/serve_retune.py [width height bounces]
 
@@ -54,7 +56,11 @@ def main():
 
     scene = Scene(default_objects("stanford_minidragon"))
     cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
-    cfg = RenderConfig(width=w, height=h, bounces=bounces)
+    # Pin the production kernel: under traversal='auto' a fallback (non-TPU,
+    # empty p2 tables, oversized scene) would ignore SERVE_* entirely and the
+    # sweep would silently rank identical programs.
+    cfg = RenderConfig(width=w, height=h, bounces=bounces,
+                       traversal="pallas2")
 
     grid = [(8, 3), (8, 2), (8, 4)]
     if os.environ.get("FULL"):
@@ -63,7 +69,10 @@ def main():
     for p, b in grid:
         sbt.SERVE_PRIMARY, sbt.SERVE_BOUNCE = p, b
         r = Renderer(scene, cfg)
-        st = r.step(r.init_state(), cam)  # compile
+        assert r.traversal == "pallas2", r.traversal
+        # compile NOW, before the next loop iteration re-patches SERVE_*
+        # (the constants are read at first-step trace time).
+        st = r.step(r.init_state(), cam)
         sync(st)
         variants[f"P{p}/B{b}"] = r
         print(f"compiled P{p}/B{b}", flush=True)

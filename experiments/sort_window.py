@@ -8,6 +8,13 @@ sort is windowed identically).  The open question is packet quality:
 windows were coherent at the previous bounce, so the in-window sort
 should keep 128-ray packets tight.  This measures the real 1080p/4-bounce
 frame for window in (global, 64K, 16K, 8K, 4K).
+
+CLOSED (round 5): windowed sorts measured frame-time NEUTRAL at every
+window size on the round-3/4 HEAD (the sort is a shrinking share of the
+frame and packet quality degrades exactly as fast as the pass count
+drops), so the ``sort_window`` config knob was DELETED from
+RenderConfig/trace in round 5.  This script is kept as the measurement
+record; it no longer runs as-is (RenderConfig has no sort_window field).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time

@@ -129,8 +129,7 @@ def scatter(seed, normal, ray_dir, roughness, lambertian):
 
 
 def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
-             lambertian, reorder: bool = False, sort_window: int = 0,
-             sort_every: int = 1,
+             lambertian, reorder: bool = False, sort_every: int = 1,
              fused_shade: bool = False, interpret_shade: bool = False,
              return_seed: bool = True, seed_recon=None):
     """One path per ray: returns (incoming_light 3x(R,) tuple, new_seed).
@@ -152,6 +151,13 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
 
     ``origin0``/``dir0`` may be (R, 3) arrays or 3-tuples of (R,) columns.
 
+    The reorder/restore sorts are EXACT global multi-operand sorts.  A
+    windowed variant (sort within fixed-size ray windows; bit-identical
+    since rays never cross windows) was measured frame-time NEUTRAL on TPU
+    and deleted in round 5 (experiments/sort_window.py records the
+    numbers); approximate lane-clustering sorts were measured far worse
+    (see below).
+
     ``fused_shade`` routes each bounce's finalize/scatter/state-update
     through the one-pass Pallas kernel (ops/shade.py) — the same formulas
     in the same order (equal to FMA-contraction rounding,
@@ -166,15 +172,10 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     coherent blocks even on bounce rays; each ray carries its own RNG state
     and original index, so results are bit-identical to the unsorted order.
 
-    ``sort_window`` > 0 sorts within independent windows of that many rays
-    instead of globally (see _wsort below); windowed sorts measured
-    frame-time neutral on TPU and stay available as a config knob.
     """
     o3 = _as_soa(origin0)
     d3 = _as_soa(dir0)
     R = o3[0].shape[0]
-    if sort_window and (R % sort_window or R <= sort_window):
-        sort_window = 0  # fall back to the global sort
 
     # The exact global multi-operand sort is at its floor: a 2M x 12 f32
     # bitonic network is ~12.5 ms of pure VPU issue slots and XLA's
@@ -183,20 +184,10 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     # in operand count) were measured and CLOSED in round 4: quantile
     # noise of ~0.4% of ray mass per packet balloons kernel time 570 ->
     # 1634 ms/frame, and a lane+windowed-refinement hybrid still loses 8%
-    # (experiments/psort_axis.py, psort_frame_ab.py).
-    def _wsort(operands, num_keys=1, exact=False):
-        """lax.sort, optionally batched into sort_window-ray windows.
-        ``exact`` marks the pixel-order restore (must be a true sort; kept
-        as a parameter so approximate reorder modes stay pluggable)."""
-        del exact
-        if not sort_window:
-            return jax.lax.sort(operands, num_keys=num_keys)
-        n_win = R // sort_window
-        parts = jax.lax.sort(
-            tuple(x.reshape(n_win, sort_window) for x in operands),
-            dimension=1, num_keys=num_keys,
-        )
-        return tuple(x.reshape(R) for x in parts)
+    # (experiments/psort_axis.py, psort_frame_ab.py).  A windowed exact
+    # sort (bit-identical; rays never cross windows) measured frame-time
+    # NEUTRAL and was deleted in round 5 (experiments/sort_window.py).
+    _wsort = jax.lax.sort
     # x2 emission in lambertian mode (fragment.glsl:329-331); traced select
     # so the L toggle is a uniform flip, not a recompile.
     emission_scale = jnp.where(jnp.asarray(lambertian, bool),
@@ -345,22 +336,19 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
     if reorder:
         # Restore pixel order: one more multi-operand sort keyed by the
         # original index (cheaper than argsort + gathers, see above).
-        # Windowed sorts never move a ray across its window, so the
-        # restore can be windowed too.  (``incoming`` is already complete
-        # here: the origin-column fold is purely a sort-transport trick,
-        # unpacked immediately after each sort.)  The seed column rides
-        # only when the caller needs it (rays_per_pixel > 1 chains the
-        # RNG across samples); each bitonic payload column costs ~1.3 ms
-        # at 2M rays, and XLA does not DCE dead sort operands.
+        # (``incoming`` is already complete here: the origin-column fold
+        # is purely a sort-transport trick, unpacked immediately after
+        # each sort.)  The seed column rides only when the caller needs
+        # it (rays_per_pixel > 1 chains the RNG across samples); each
+        # bitonic payload column costs ~1.3 ms at 2M rays, and XLA does
+        # not DCE dead sort operands.
         if return_seed:
             _, i0, i1, i2, seed = _wsort(
                 (orig, incoming[0], incoming[1], incoming[2], seed),
-                exact=True,
             )
         else:
             _, i0, i1, i2 = _wsort(
                 (orig, incoming[0], incoming[1], incoming[2]),
-                exact=True,
             )
             seed = None
         incoming = (i0, i1, i2)
@@ -369,7 +357,7 @@ def raytrace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
 
 def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
           rays_per_pixel: int, lambertian, reorder: bool = False,
-          sort_window: int = 0, sort_every: int = 1,
+          sort_every: int = 1,
           fused_shade: bool = False, interpret_shade: bool = False,
           seed_recon=None):
     """Average ``rays_per_pixel`` independent paths (fragment.glsl:352-366).
@@ -385,7 +373,6 @@ def trace(scene, raycast_fn, origin0, dir0, seed0, sky_color, n_bounces: int,
         n_bounces=n_bounces,
         lambertian=lambertian,
         reorder=reorder,
-        sort_window=sort_window,
         sort_every=sort_every,
         fused_shade=fused_shade,
         interpret_shade=interpret_shade,

@@ -209,7 +209,6 @@ def render_pixels(scene: SceneData, config: RenderConfig, camera: Camera,
         rays_per_pixel=config.rays_per_pixel,
         lambertian=lambertian,
         reorder=reorder,
-        sort_window=config.sort_window,
         sort_every=config.sort_every,
         fused_shade=fused_shade,
         interpret_shade=interpret_shade,

@@ -49,9 +49,6 @@ class RenderConfig:
         to the pixel-row granularity internally). 0 = whole frame at once.
     aspect: display aspect ratio for ray generation (reference main.py:137
         uses sw/sh — the DISPLAY size); 0 = use width/height.
-    sort_window: reorder-sort window in rays (0 = sort the whole chunk);
-        windowed sorts cut the bitonic pass count ~2.5x at 8K windows and
-        stay bit-identical (rays never cross windows).
     sort_every: reorder-sort cadence in bounces (1 = sort before every
         bounce segment, 2 = every other, ...).  A pure perf knob: the
         sort + final restore are permutations carrying per-ray RNG state,
@@ -78,7 +75,6 @@ class RenderConfig:
     traversal: str = "auto"
     ray_chunk: int = 0
     aspect: float = 0.0
-    sort_window: int = 0
     sort_every: int = 1
     frames_per_step: int = 1
 

@@ -85,3 +85,38 @@ def test_cli_parser_defaults():
     assert args.width == 960 and args.bounces == 7 and not args.interactive
     args = build_parser().parse_args(["--obj", "x.obj", "--traversal", "packet"])
     assert args.obj == "x.obj" and args.traversal == "packet"
+
+
+def test_mediumdragon_eval_time_injection(tmp_path, monkeypatch):
+    """Rehearse BASELINE.md's eval-time asset supply end to end: the
+    reference's ``stanford_mediumdragon`` OBJ is stripped from the mount
+    (.MISSING_LARGE_BLOBS:4), so the judge supplies it under
+    OGLRT_MODELS_PATH.  Stage a renamed stand-in OBJ in a tmp root and
+    render the FULL default scene through ``App(dragon=
+    "stanford_mediumdragon")`` — every other asset (sphere) must still
+    resolve via the later path entries."""
+    import os
+    import shutil
+
+    staged = tmp_path / "stanford_mediumdragon"
+    staged.mkdir()
+    shutil.copy("/root/reference/models/knight/low-poly-chess-knight.obj",
+                staged / "Dragon_medium.obj")
+    monkeypatch.setenv(
+        "OGLRT_MODELS_PATH",
+        os.pathsep.join([str(tmp_path), "/root/reference/models"]),
+    )
+
+    from opengl_raytracer_tpu.models.mesh import resolve_obj_path
+
+    assert resolve_obj_path("stanford_mediumdragon") == str(
+        staged / "Dragon_medium.obj")
+
+    out = str(tmp_path / "out.png")
+    app = App(window_size=(32, 24), bounces=2,
+              dragon="stanford_mediumdragon", headless=True, max_frames=1,
+              output=out)
+    # knight (296 tris) + sphere (3,968) + 7 rects (84) = the full scene
+    assert app.scene.total_triangles == 296 + 3968 + 84
+    img = load_png(out)
+    assert img.shape == (24, 32, 3) and np.isfinite(img).all()

@@ -264,12 +264,12 @@ def test_frames_per_step_matches_sequential():
 
 
 @pytest.mark.slow
-def test_frames_per_step_with_tiles_and_sort_window():
-    """frames_per_step composes with remainder tiles and the windowed
-    reorder sort (packet path, sort_window smaller than the batch)."""
+def test_frames_per_step_with_tiles():
+    """frames_per_step composes with remainder tiles on the reordering
+    packet path."""
     objs = cornellish_objects()
     img, _, _ = run_jax(objs, frames=2, traversal="packet", frames_per_step=2,
-                        tile_size=3, sort_window=128)
+                        tile_size=3)
     ref, _, _ = run_jax(objs, frames=2, traversal="packet")
     assert rmse(img, ref) < 1e-6
 
@@ -282,17 +282,6 @@ def test_sort_cadence_bit_identical():
     a, _, _ = run_jax(objs, frames=1, bounces=4, traversal="packet",
                       sort_every=2)
     b, _, _ = run_jax(objs, frames=1, bounces=4, traversal="packet")
-    np.testing.assert_array_equal(a, b)
-
-
-@pytest.mark.slow
-def test_sort_window_bit_identical():
-    """Windowed reorder sorts are order-restoring: images are identical to
-    the global-sort render."""
-    objs = cornellish_objects()
-    a, _, _ = run_jax(objs, frames=1, bounces=3, traversal="packet",
-                      sort_window=64)
-    b, _, _ = run_jax(objs, frames=1, bounces=3, traversal="packet")
     np.testing.assert_array_equal(a, b)
 
 
