@@ -5,15 +5,35 @@ for the stripped mediumdragon unless OGLRT_BENCH_DRAGON points elsewhere)
 at 1920x1080 with 4 bounces on whatever accelerator JAX finds, and prints
 ONE JSON line:
 
-    {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
+    {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30,
+     "extra": {"northstar_1080p": {...}, "config5_4spp": {...}}}
 
 vs_baseline is measured against the BASELINE.json north-star of 30 fps at
 1080p/4-bounce on one TPU v5e chip.  Extra detail (Mrays/s, timings) goes
 to stderr.
 
+North-star extras (BASELINE.md config 5 is defined on stanford_
+mediumdragon, ~87k tris, with 4-spp accumulation; its OBJ is stripped
+from the mount, .MISSING_LARGE_BLOBS:4): when the default full-size
+workload runs, two additional rates are measured in their own supervised
+children and merged under "extra":
+
+    northstar_1080p — the default scene at mediumdragon SCALE: the real
+        stanford_mediumdragon when it resolves (supply it at eval time
+        via OGLRT_MODELS_PATH), else a ~112k-tri 4-dragon proxy
+        (experiments/bigscene_test.py), 1920x1080 / 4-bounce / 1 spp.
+    config5_4spp    — the same scene with frames_per_step=4 (the config-5
+        4-spp accumulation), reported as spp-batched frames/s.
+
+Each extra is optional: its failure or timeout leaves the headline line
+intact (an "error" field appears inside that extra instead).  Extras are
+skipped when the workload was overridden to a quick-check size (any of
+OGLRT_BENCH_WIDTH/HEIGHT/BOUNCES/SPP/SCENE set), and forced on/off with
+OGLRT_BENCH_EXTRAS=1/0.
+
 Flake resilience: the tunneled axon TPU backend can HANG (not just error)
 inside ``jax.devices()`` when the tunnel is wedged, so exception handling
-alone cannot save the run.  The harness therefore runs the measurement in
+alone cannot save the run.  The harness therefore runs each measurement in
 a child process supervised by a parent that enforces a per-attempt timeout
 (OGLRT_BENCH_TIMEOUT, default 1500 s), retries with backoff
 (OGLRT_BENCH_ATTEMPTS x OGLRT_BENCH_BACKOFF, default 3 x 60 s), and on
@@ -25,8 +45,14 @@ Env knobs:
     OGLRT_BENCH_SPP       — frames_per_step batching (BASELINE config 5's
                             4-spp accumulation); reported as spp-batched
                             frames/s (steps/s x spp)
+    OGLRT_BENCH_SCENE     — "default" | "bigscene" (mediumdragon scale:
+                            real mediumdragon if resolvable, else the
+                            4-dragon proxy)
+    OGLRT_BENCH_EXTRAS    — 1/0 force the extra workloads on/off
     OGLRT_BENCH_PNG       — also save the final accumulation
     OGLRT_BENCH_TIMEOUT/ATTEMPTS/BACKOFF — supervision policy
+    OGLRT_BENCH_EXTRA_TIMEOUT/EXTRA_ATTEMPTS — extras' policy (default
+                            1200 s x 2)
 """
 
 from __future__ import annotations
@@ -49,13 +75,39 @@ def _workload():
         "bounces": int(os.environ.get("OGLRT_BENCH_BOUNCES", 4)),
         "dragon": os.environ.get("OGLRT_BENCH_DRAGON", "stanford_minidragon"),
         "spp": int(os.environ.get("OGLRT_BENCH_SPP", 1)),
+        "scene": os.environ.get("OGLRT_BENCH_SCENE", "default"),
     }
 
 
-def _metric_name(w):
+def _metric_name(w, scene_label=None):
     spp = f", {w['spp']}-spp batched" if w["spp"] > 1 else ""
+    label = scene_label or (
+        w["dragon"] if w["scene"] == "default" else w["scene"])
     return (f"fps at {w['width']}x{w['height']}/{w['bounces']}-bounce "
-            f"on {w['dragon']}{spp}")
+            f"on {label}{spp}")
+
+
+def _bigscene_objects(dragon_default: str):
+    """Mediumdragon-SCALE scene: the real stanford_mediumdragon default
+    scene when the (stripped) asset resolves, else the default scene plus
+    three more dragons (~112k tris, experiments/bigscene_test.py).
+    Returns (objects, label)."""
+    from opengl_raytracer_tpu.models.mesh import Mesh, resolve_obj_path
+    from opengl_raytracer_tpu.presets import default_objects
+
+    try:
+        resolve_obj_path("stanford_mediumdragon")
+    except FileNotFoundError:
+        objs = default_objects(dragon_default) + [
+            Mesh([-5, -10, 12], [270, 0, -90], "stanford_minidragon",
+                 [0.8, 0.6, 0.5], roughness=1, scale=0.18),
+            Mesh([-5, -10, -12], [270, 0, -90], "dragon", [0.5, 0.7, 0.9],
+                 roughness=1, scale=0.06),
+            Mesh([5, -10, 0], [270, 0, 90], "dragon", [0.9, 0.7, 0.4],
+                 roughness=1, scale=0.05),
+        ]
+        return objs, "4-dragon proxy (mediumdragon scale)"
+    return default_objects("stanford_mediumdragon"), "stanford_mediumdragon"
 
 
 def run_bench():
@@ -89,9 +141,14 @@ def run_bench():
     config = RenderConfig(width=w["width"], height=w["height"],
                           bounces=w["bounces"], frames_per_step=w["spp"])
 
+    scene_label = None
+    if w["scene"] == "bigscene":
+        objects, scene_label = _bigscene_objects(w["dragon"])
+        log(f"bigscene: {scene_label}")
+    else:
+        objects = default_objects(w["dragon"])
     t0 = time.time()
-    scene = Scene(default_objects(w["dragon"]),
-                  max_leaf_tris=config.max_leaf_tris)
+    scene = Scene(objects, max_leaf_tris=config.max_leaf_tris)
     log(f"scene: {scene.total_triangles:,} tris, {scene.total_boxes:,} BVH nodes, "
         f"built in {time.time() - t0:.2f}s")
 
@@ -146,24 +203,19 @@ def run_bench():
         log(f"wrote {out_png}")
 
     print(json.dumps({
-        "metric": _metric_name(w),
+        "metric": _metric_name(w, scene_label),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
     }))
 
 
-def supervise():
-    """Parent: run the measurement in a child with timeout + retries, and
-    ALWAYS print one JSON line (with an "error" field on terminal failure)."""
-    attempts = int(os.environ.get("OGLRT_BENCH_ATTEMPTS", 3))
-    backoff = float(os.environ.get("OGLRT_BENCH_BACKOFF", 60))
-    timeout = float(os.environ.get("OGLRT_BENCH_TIMEOUT", 1500))
-
+def _run_child(extra_env, attempts, backoff, timeout, label):
+    """Run one supervised measurement child; returns (dict | None, err)."""
     last_err = "unknown"
     for attempt in range(1, attempts + 1):
-        log(f"bench attempt {attempt}/{attempts} (timeout {timeout:.0f}s)")
-        env = dict(os.environ, OGLRT_BENCH_CHILD="1")
+        log(f"[{label}] attempt {attempt}/{attempts} (timeout {timeout:.0f}s)")
+        env = dict(os.environ, OGLRT_BENCH_CHILD="1", **extra_env)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -172,7 +224,7 @@ def supervise():
             )
         except subprocess.TimeoutExpired:
             last_err = f"attempt {attempt} timed out after {timeout:.0f}s"
-            log(last_err)
+            log(f"[{label}] {last_err}")
         else:
             lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
             if proc.returncode == 0 and lines:
@@ -180,26 +232,72 @@ def supervise():
                     parsed = json.loads(lines[-1])
                 except json.JSONDecodeError:
                     last_err = f"attempt {attempt}: unparseable output {lines[-1]!r}"
-                    log(last_err)
+                    log(f"[{label}] {last_err}")
                 else:
-                    print(json.dumps(parsed))
-                    return
+                    return parsed, None
             else:
                 last_err = (f"attempt {attempt}: rc={proc.returncode}, "
                             f"stdout tail {lines[-1:] or '(empty)'}")
-                log(last_err)
+                log(f"[{label}] {last_err}")
         if attempt < attempts:
-            log(f"retrying in {backoff:.0f}s")
+            log(f"[{label}] retrying in {backoff:.0f}s")
             time.sleep(backoff)
+    return None, last_err
 
-    w = _workload()
-    print(json.dumps({
-        "metric": _metric_name(w),
-        "value": 0.0,
-        "unit": "fps",
-        "vs_baseline": 0.0,
-        "error": f"backend unavailable after {attempts} attempts: {last_err}",
-    }))
+
+def _extras_enabled():
+    forced = os.environ.get("OGLRT_BENCH_EXTRAS")
+    if forced is not None:
+        return forced not in ("0", "", "false")
+    # Default on only for the unmodified full-size workload: a quick-check
+    # override (small size, custom spp/scene) should stay quick.
+    overridden = any(
+        os.environ.get(k)
+        for k in ("OGLRT_BENCH_WIDTH", "OGLRT_BENCH_HEIGHT",
+                  "OGLRT_BENCH_BOUNCES", "OGLRT_BENCH_SPP",
+                  "OGLRT_BENCH_SCENE")
+    )
+    return not overridden
+
+
+def supervise():
+    """Parent: run the headline measurement (plus the north-star extras)
+    in supervised children and ALWAYS print one JSON line (with an
+    "error" field on terminal failure)."""
+    attempts = int(os.environ.get("OGLRT_BENCH_ATTEMPTS", 3))
+    backoff = float(os.environ.get("OGLRT_BENCH_BACKOFF", 60))
+    timeout = float(os.environ.get("OGLRT_BENCH_TIMEOUT", 1500))
+
+    headline, err = _run_child({}, attempts, backoff, timeout, "headline")
+    if headline is None:
+        w = _workload()
+        headline = {
+            "metric": _metric_name(w),
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": f"backend unavailable after {attempts} attempts: {err}",
+        }
+        print(json.dumps(headline))
+        return
+
+    if _extras_enabled():
+        ex_attempts = int(os.environ.get("OGLRT_BENCH_EXTRA_ATTEMPTS", 2))
+        ex_timeout = float(os.environ.get("OGLRT_BENCH_EXTRA_TIMEOUT", 1200))
+        extras = {}
+        for key, env in (
+            ("northstar_1080p", {"OGLRT_BENCH_SCENE": "bigscene"}),
+            ("config5_4spp", {"OGLRT_BENCH_SCENE": "bigscene",
+                              "OGLRT_BENCH_SPP": "4",
+                              "OGLRT_BENCH_ITERS": "4"}),
+        ):
+            parsed, err = _run_child(env, ex_attempts, backoff, ex_timeout,
+                                     key)
+            extras[key] = parsed if parsed is not None else {"error": err}
+            log(f"[{key}] -> {json.dumps(extras[key])}")
+        headline["extra"] = extras
+
+    print(json.dumps(headline))
 
 
 def main():
