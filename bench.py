@@ -89,9 +89,17 @@ def _metric_name(w, scene_label=None):
 
 def _bigscene_objects(dragon_default: str):
     """Mediumdragon-SCALE scene: the real stanford_mediumdragon default
-    scene when the (stripped) asset resolves, else the default scene plus
-    three more dragons (~112k tris, experiments/bigscene_test.py).
-    Returns (objects, label)."""
+    scene when the (stripped) asset resolves, else a proxy built from the
+    available dragons.  Returns (objects, label).
+
+    The default proxy SCALE-MATCHES the real target: the mediumdragon
+    default scene is ~91k tris (87k dragon + 4k sphere + rects), which is
+    SINGLE-PART under the sub-block table budget (~120k tris/part), so the
+    proxy adds two dragons to the default scene (27.5k + 23.5k + 38k =
+    89k tris, single-part).  OGLRT_BENCH_PROXY=4dragon selects the larger
+    ~127k-tri 4-dragon proxy instead, which exercises the MULTI-PART
+    chained-pruning path (two kernel launches per bounce segment) — a
+    heavier workload than the real config-5 scene, kept for coverage."""
     from opengl_raytracer_tpu.models.mesh import Mesh, resolve_obj_path
     from opengl_raytracer_tpu.presets import default_objects
 
@@ -103,10 +111,13 @@ def _bigscene_objects(dragon_default: str):
                  [0.8, 0.6, 0.5], roughness=1, scale=0.18),
             Mesh([-5, -10, -12], [270, 0, -90], "dragon", [0.5, 0.7, 0.9],
                  roughness=1, scale=0.06),
-            Mesh([5, -10, 0], [270, 0, 90], "dragon", [0.9, 0.7, 0.4],
-                 roughness=1, scale=0.05),
         ]
-        return objs, "4-dragon proxy (mediumdragon scale)"
+        if os.environ.get("OGLRT_BENCH_PROXY") == "4dragon":
+            objs.append(
+                Mesh([5, -10, 0], [270, 0, 90], "dragon", [0.9, 0.7, 0.4],
+                     roughness=1, scale=0.05))
+            return objs, "4-dragon proxy (127k tris, multi-part)"
+        return objs, "3-dragon proxy (89k tris, mediumdragon scale)"
     return default_objects("stanford_mediumdragon"), "stanford_mediumdragon"
 
 
