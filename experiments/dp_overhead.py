@@ -1,0 +1,167 @@
+"""Measure the dp-scaling overhead so "8 chips ~ 8x" is a model, not an
+assumption (VERDICT r4 item 2).
+
+Three measured inputs:
+
+1. COMMUNICATION (exact, from compiled HLO): on the virtual 8-CPU mesh,
+   compile the production sharded step at full 1080p for dp in {1,2,4,8}
+   and inventory every collective GSPMD inserted, with operand bytes.
+   The traversal runs INSIDE shard_map on device-local rays (zero
+   communication by construction), so the collective structure is
+   traversal-independent and the cheap packet path compiles fast.
+   Expectation from the sharding design (parallel/sharding.py): with
+   tile_size=1 the band IS the image and band rows land on the accum's
+   own row shards -> no resharding; sp=1 -> no psum.  This either
+   verifies ZERO per-step collectives or lists the real ones.
+
+2. SHARD_MAP WRAPPER COST (real TPU, 1 chip): plain Renderer vs
+   ShardedRenderer on a (dp=1, sp=1) mesh at 1920x1080/4-bounce,
+   interleaved best-of-N in one process.  Any delta is fixed per-step
+   overhead the mesh adds at dp=1 (GSPMD partitioning glue, sharding
+   constraints, donation differences).
+
+3. DISPATCH: steps/s back-to-back already includes host dispatch; the
+   bench-vs-trace gap (462.5 wall vs 458.5 device ms, round-5 trace) is
+   ~4 ms/step through the tunneled runtime and is an upper bound for a
+   production pod runtime.
+
+Model (published in STATUS.md):
+    ms(dp) = device_ms(1)/dp + wrapper_delta + comm_bytes/ici_bw + dispatch
+
+Usage:
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python experiments/dp_overhead.py hlo      # part 1 (CPU ok)
+    python experiments/dp_overhead.py tpu          # part 2 (real chip)
+
+RESULT: see bottom of docstring after running.
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import re
+import time
+
+import numpy as np
+
+W, H, BOUNCES = 1920, 1080, 4
+
+_COLL = re.compile(
+    r"%(all-reduce|all-gather|all-to-all|collective-permute|"
+    r"reduce-scatter)[.\d]* = ([^ ]+) ", re.I)
+
+_SHAPE_ELEMS = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+_DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
+                "bf16": 2, "u8": 1, "s8": 1, "f64": 8, "s64": 8, "u64": 8}
+
+
+def _bytes_of(shape_str):
+    total = 0
+    for dt, dims in _SHAPE_ELEMS.findall(shape_str):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES.get(dt, 4)
+    return total
+
+
+def hlo_audit():
+    import jax
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend as jeb
+        jeb.clear_backends()
+        jax.config.update("jax_num_cpu_devices", 8)
+    assert len(jax.devices()) >= 8, jax.devices()
+
+    import jax.numpy as jnp
+    from opengl_raytracer_tpu.models.scene import Scene
+    from opengl_raytracer_tpu.ops.camera import make_camera
+    from opengl_raytracer_tpu.parallel.sharding import ShardedRenderer, make_mesh
+    from opengl_raytracer_tpu.presets import (DEFAULT_CAM_DIR,
+                                              DEFAULT_CAM_POS,
+                                              default_objects)
+    from opengl_raytracer_tpu.utils.config import RenderConfig
+
+    # packet traversal: same sharding structure as pallas2, compiles fast
+    # on CPU at full 1080p
+    cfg = RenderConfig(width=W, height=H, bounces=BOUNCES,
+                       traversal="packet")
+    scene = Scene(default_objects("stanford_minidragon"),
+                  max_leaf_tris=cfg.max_leaf_tris)
+    cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
+
+    for dp in (1, 2, 4, 8):
+        mesh = make_mesh(dp, dp=dp, sp=1)
+        r = ShardedRenderer(scene, cfg, mesh)
+        st = r.init_state()
+        lowered = r._step.lower(
+            r.scene, cam, st.accum, jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.float32(1.0), jnp.float32(0.001),
+            jnp.asarray(True))
+        t0 = time.time()
+        txt = lowered.compile().as_text()
+        colls = _COLL.findall(txt)
+        total = sum(_bytes_of(s) for _, s in colls)
+        kinds = {}
+        for kind, shape in colls:
+            kinds.setdefault(kind.lower(), []).append(_bytes_of(shape))
+        detail = ", ".join(f"{k} x{len(v)} ({sum(v)/1e6:.2f} MB)"
+                           for k, v in sorted(kinds.items())) or "NONE"
+        print(f"dp={dp}: collectives: {detail}; total {total/1e6:.2f} MB "
+              f"(compile {time.time()-t0:.0f}s)", flush=True)
+
+
+def tpu_wrapper_ab():
+    import jax
+    import jax.numpy as jnp
+    from opengl_raytracer_tpu.models.scene import Scene
+    from opengl_raytracer_tpu.ops.camera import make_camera
+    from opengl_raytracer_tpu.parallel.sharding import ShardedRenderer, make_mesh
+    from opengl_raytracer_tpu.presets import (DEFAULT_CAM_DIR,
+                                              DEFAULT_CAM_POS,
+                                              default_objects)
+    from opengl_raytracer_tpu.renderer import Renderer
+    from opengl_raytracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=W, height=H, bounces=BOUNCES)
+    scene = Scene(default_objects("stanford_minidragon"),
+                  max_leaf_tris=cfg.max_leaf_tris)
+    cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
+
+    def sync(state):
+        return float(jnp.sum(state.accum[:2, :2]))
+
+    plain = Renderer(scene, cfg)
+    mesh = make_mesh(1, dp=1, sp=1)
+    sharded = ShardedRenderer(scene, cfg, mesh)
+    assert sharded.traversal == "pallas2", sharded.traversal
+
+    variants = {"plain": plain, "mesh(1,1)": sharded}
+    for name, r in variants.items():
+        st = r.step(r.init_state(), cam)
+        sync(st)
+        print(f"compiled {name}", flush=True)
+
+    best = {k: 1e9 for k in variants}
+    reps = int(os.environ.get("REPS", 5))
+    for _ in range(reps):
+        for k, r in variants.items():
+            st = r.init_state()
+            st = r.step(st, cam)
+            sync(st)
+            t0 = time.time()
+            st = r.step(st, cam)
+            sync(st)
+            best[k] = min(best[k], time.time() - t0)
+    for k in variants:
+        print(f"{k}: {best[k]*1000:.1f} ms/step", flush=True)
+    print(f"wrapper delta: {(best['mesh(1,1)'] - best['plain'])*1000:+.1f} "
+          f"ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "hlo"
+    if mode == "hlo":
+        hlo_audit()
+    else:
+        tpu_wrapper_ab()
