@@ -10,11 +10,8 @@ footprint at 2M rays), and XLA's fusion pass does not horizontally merge
 the sibling consumers.  Measured on the 1080p/4-bounce frame this glue
 cost ~70 ms AoS and ~160 ms as naive SoA columns (experiments/trace_step).
 
-This kernel does the whole thing in ONE pass: materials arrive in the
-row gather's NATIVE layout (P, 128, 24) — a free bitcast, no XLA
-normalization copy — and are transposed to per-field (B, 128) tiles
-inside the kernel (VMEM-local, ~1.2 ms/bounce vs the 1.79 ms HBM copy
-the old (24, P, 128) operand forced; experiments/shadeglue_ab.py); ray
+This kernel does the whole thing in ONE pass: materials arrive
+TRANSPOSED as (24, P, 128) so each field is a dense (B, 128) tile, ray
 state arrives as (P, 128) columns, and every output column is written
 once.  Arithmetic cost is trivial (~80 VPU ops/ray); the pass is
 HBM-bandwidth-bound at ~0.5 GB total — ~1-2 ms/bounce instead of 15-30.
@@ -37,8 +34,6 @@ inherent to ANY two compilations of the same formula); integer outputs
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,18 +45,6 @@ from opengl_raytracer_tpu.ops.intersect import BIG
 
 _LANE = 128
 _B = 64  # max packets (sublane rows) per grid step
-
-# How the gathered (R, 24) material rows reach the kernel (frame-level
-# A/B in experiments/shadeglue_frame_ab.py; op-level in shadeglue_ab.py):
-#   "r"    gather-native (P, 128, 24) — a free bitcast of the gather
-#          output; the kernel transposes in VMEM.  Deletes XLA's 1.79
-#          ms/bounce layout-normalization copy but the kernel then DMAs
-#          the lane-padded (24->128) gather output (~+1.1 ms/bounce).
-#   "t"    (24, P, 128) — XLA emits the normalization copy, kernel
-#          reads dense per-field tiles.
-#   "colg" (24, P, 128) via a column gather from the transposed table —
-#          no copy and dense reads, but the strided gather pays for it.
-_ABC_LAYOUT = "r"
 
 
 def _pick_block(P: int) -> int:
@@ -83,18 +66,13 @@ def _shade_kernel(abc, t_in, u_in, v_in,
                   x0, x1, x2, params,
                   no0, no1, no2, nd0, nd1, nd2,
                   nrc0, nrc1, nrc2, nin0, nin1, nin2,
-                  alive_out, seed_out, *, transpose_abc):
+                  alive_out, seed_out):
     f32 = jnp.float32
     tiny = np.float32(1e-30)
 
     sky = (params[0, 0], params[0, 1], params[0, 2])
     em_scale = params[0, 3]
     lam = params[0, 4] > 0.5
-
-    # layout "r": abc arrives in the GATHER's native layout
-    # (blk, 128, 24) and is transposed here in VMEM instead of by an
-    # XLA HBM copy (see _ABC_LAYOUT).
-    abc = jnp.transpose(abc[...], (2, 0, 1)) if transpose_abc else abc[...]
 
     t = t_in[...]
     u = u_in[...]
@@ -212,14 +190,8 @@ def shade_update(scene, nearest, o3, d3, rc3, inc3, alive, seed,
     seed_new, x2 = rng.random_value(seed_new)
 
     slot = jnp.clip(nearest.slot, 0, scene.sh_slot.shape[0] - 1)
-    layout = _ABC_LAYOUT
-    if layout == "colg":
-        # column gather from the transposed table: no normalization copy
-        abc_in = scene.sh_slot.T[:, slot].reshape(24, P, _LANE)
-    elif layout == "t":
-        abc_in = scene.sh_slot[slot].T.reshape(24, P, _LANE)
-    else:  # "r": keep the row gather's native layout (free bitcast)
-        abc_in = scene.sh_slot[slot].reshape(P, _LANE, 24)
+    abc = scene.sh_slot[slot]  # (R, 24) row gather
+    abc_t = abc.T.reshape(24, P, _LANE)
 
     def cols(x):
         return x.reshape(P, _LANE)
@@ -236,11 +208,8 @@ def shade_update(scene, nearest, o3, d3, rc3, inc3, alive, seed,
         return x
 
     if pad_p:
-        pad_shape = ((pad_p, _LANE, 24) if layout == "r"
-                     else (24, pad_p, _LANE))
-        abc_in = jnp.concatenate(
-            [abc_in, jnp.zeros(pad_shape, abc_in.dtype)],
-            axis=0 if layout == "r" else 1)
+        abc_t = jnp.concatenate(
+            [abc_t, jnp.zeros((24, pad_p, _LANE), abc_t.dtype)], axis=1)
 
     params = jnp.zeros((8, _LANE), jnp.float32)
     params = params.at[0, 0].set(sky_color[0])
@@ -253,12 +222,8 @@ def shade_update(scene, nearest, o3, d3, rc3, inc3, alive, seed,
     grid = Pp // blk
     col_blk = pl.BlockSpec((blk, _LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    if layout == "r":
-        abc_blk = pl.BlockSpec((blk, _LANE, 24), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
-    else:
-        abc_blk = pl.BlockSpec((24, blk, _LANE), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM)
+    abc_blk = pl.BlockSpec((24, blk, _LANE), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
     par_blk = pl.BlockSpec((8, _LANE), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -267,13 +232,13 @@ def shade_update(scene, nearest, o3, d3, rc3, inc3, alive, seed,
                   + [jax.ShapeDtypeStruct((Pp, _LANE), jnp.int32),
                      jax.ShapeDtypeStruct((Pp, _LANE), jnp.uint32)])
     outs = pl.pallas_call(
-        functools.partial(_shade_kernel, transpose_abc=(layout == "r")),
+        _shade_kernel,
         grid=(grid,),
         in_specs=[abc_blk] + [col_blk] * 21 + [par_blk],
         out_specs=[col_blk] * 14,
         out_shape=out_shapes,
         interpret=interpret,
-    )(abc_in,
+    )(abc_t,
       prep(nearest.t), prep(nearest.u), prep(nearest.v),
       prep(o3[0]), prep(o3[1]), prep(o3[2]),
       prep(d3[0]), prep(d3[1]), prep(d3[2]),
