@@ -25,6 +25,18 @@ kernel: the serve/claim block costs nothing in context; the vector
 phases are issue-bound and near their op-count floor; the only
 iteration-cost lever left was amortizing the serial spine over more
 rows (8 -> 64).
+  expandbf (round 5, VERDICT r4 item 3): the expand phase with the
+slab math in bfloat16 — the probe for a CONSERVATIVE reduced-precision
+slab test (directed-rounding-widened boxes keep correctness by
+construction; cost would be extra pops).  MEASURED: does not compile —
+Mosaic on v5e rejects bf16 vector COMPARES (min/max/>=), the same
+16-bit-compare capability hole that closed int16 stacks
+(stack16_ab.py); a bisect shows bf16 *arithmetic* lowers fine, bf16
+comparisons are what fail.  A slab test is nothing but compares, so
+conservative-bf16 traversal is closed BY HARDWARE CAPABILITY on this
+generation, not by assertion.  (Even if it compiled, the phases are
+VPU-issue-bound and v5e has no 2x bf16 issue rate; the only win channel
+— halved row loads — measures ~0 because loads prefetch for free.)
   leaf2_fakediv (round 4): leaf2 with the 16 per-triangle 1.0/det
 divides replaced by a mul — a pure cost probe.  MEASURED at SUB=64:
 leaf2 3818 vs fakediv 3846 ns/iter (expand 2028) — the divides are
