@@ -33,7 +33,37 @@ Usage:
         python experiments/dp_overhead.py hlo      # part 1 (CPU ok)
     python experiments/dp_overhead.py tpu          # part 2 (real chip)
 
-RESULT: see bottom of docstring after running.
+RESULT (2026-08-19):
+
+part 1 (8-virtual-CPU mesh, full 1080p step, compiled HLO):
+
+    dp=1: collectives NONE
+    dp=2: collective-permute x2, 13.48 MB total
+    dp=4: collective-permute x2,  6.74 MB
+    dp=8: collective-permute x2,  3.37 MB
+
+    The permutes come from the band's GL bottom-up -> image top-down row
+    reversal (sharding.py tile_img[::-1]): shard i's band rows belong to
+    shard dp-1-i's accum rows.  Total bytes SHRINK with dp (each shard
+    exchanges its 1/dp slice), and at dp=8 the 3.37 MB is ~0.1 ms at
+    even a conservative 45 GB/s/link ICI — negligible vs ~57 ms compute.
+
+part 2 (real v5e chip, 1920x1080/4-bounce, interleaved best-of-5):
+
+    plain Renderer : 486.8 ms/step
+    mesh(1,1)      : 500.8 ms/step   -> wrapper delta +14.0 ms/step
+
+    dp_trace.py shows the sharded step's DEVICE profile is IDENTICAL to
+    the plain one (458.5 ms total, same op set, same sort/copy times),
+    so the +14 ms is entirely HOST-side dispatch on this tunneled
+    single-chip runtime (the axon tunnel adds ~fixed per-dispatch cost
+    and the sharded executable's argument handling makes another round
+    trip); on a local PjRt pod runtime per-step dispatch is sub-ms.
+
+model (STATUS.md "Multi-chip scaling model"):
+    ms(dp) = device_ms(1)/dp * imbalance(dp) + permute(3.37 MB/dp / ICI)
+             + dispatch        [458.5 ms device at HEAD; imbalance from
+                                frame_breakdown.py per-strip alive stats]
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import re

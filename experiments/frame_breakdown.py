@@ -6,6 +6,24 @@ segment by segment on the default minidragon scene):
     (debug_iters), and the implied per-iteration cost
   * the non-traversal pieces at 2M rays: sort keys + multi-operand sort,
     finalize_hit, scatter, progressive-merge
+  * (round 5) per-dp=8-strip alive counts — the load-imbalance input of
+    the multi-chip scaling model (experiments/dp_overhead.py)
+
+RESULT (round-5 HEAD, TPU v5e, 2026-08-19; standalone timings carry the
+~30 ms dispatch tunnel — in-frame times are in trace_step.py):
+
+    seg  live_pkts  sub-iters  node/pkt  oct/pkt  strip max/mean
+    0      16200      2563        5.2      4.6       1.016
+    1      15943      9266       29.7     46.4       1.035
+    2      15224     11570       43.7     68.8       1.038
+    3      14707     11489       45.3     70.8       1.043
+    4      14191     11292       46.1     72.4       1.048
+
+    Totals/frame: 46,180 sub-iterations (370.8 ms in-frame kernel time
+    -> 8.03 us/iter, matching the round-4 8.05), 2.543M node pops =
+    2.60G ray-box tests, 3.930M octet pops = 4.03G ray-triangle tests,
+    9.76M ray-segments.  These feed the roofline arithmetic (STATUS.md)
+    and the dp=8 imbalance bound (<= +4.8%, worst segment).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
@@ -116,6 +134,15 @@ def main():
         seed = jnp.where(was_hit, s2, seed)
         alive = was_hit & ~(hit.emission > 0.0)
         o, d, alive = jax.block_until_ready((o, d, alive))
+
+        # dp load-imbalance input (experiments/dp_overhead.py): each dp=8
+        # shard renders a horizontal strip; per-strip alive counts bound
+        # the slowest-shard factor for the NEXT segment's kernel.
+        strips = np.asarray(alive).reshape(8, -1).sum(axis=1)
+        if strips.sum():
+            print(f"  seg{b}: next-seg dp=8 strip alive "
+                  f"max/mean={strips.max() / max(strips.mean(), 1):.3f} "
+                  f"({(strips / 1e3).round(1).tolist()}k)", flush=True)
 
 
 if __name__ == "__main__":
