@@ -68,6 +68,20 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+# Roofline constants for the DEFAULT workload (1920x1080/4-bounce
+# minidragon), measured via experiments/frame_breakdown.py at round-5
+# HEAD: 2.543M node pops -> 2.60G ray-box tests (12 f32 FLOPs each) and
+# 3.930M octet pops -> 4.03G ray-triangle tests (39 FLOPs each) per
+# frame = 188 GFLOP of algorithmic intersection work, plus 9.76M
+# ray-segments traced.  VPU peak is derived from the published v5e spec
+# (197 TFLOP/s bf16 = 4 MXUs x 128x128 x 2 @ ~1.5 GHz -> VPU 8x128
+# lanes x 4 ALUs x 2 FLOPs = 12.3 TFLOP/s f32 FMA).  Full accounting:
+# STATUS.md "Roofline".
+_DEFAULT_USEFUL_GFLOP_PER_FRAME = 188.2
+_DEFAULT_RAYSEG_PER_FRAME = 9.76e6
+_VPU_PEAK_GFLOPS = 12_288.0
+
+
 def _workload():
     return {
         "width": int(os.environ.get("OGLRT_BENCH_WIDTH", 1920)),
@@ -206,6 +220,16 @@ def run_bench():
     log(f"steady state: {dt * 1000:.1f} ms/step ({w['spp']} spp/step), "
         f"{fps:.2f} frames/s, {mrays:.1f} Mrays/s primary "
         f"(x{config.n_bounces} bounce segments max)")
+    if (w["scene"] == "default" and w["spp"] == 1
+            and w["dragon"] == "stanford_minidragon"
+            and (w["width"], w["height"], w["bounces"]) == (1920, 1080, 4)
+            and n_dev == 1):
+        # roofline line for the measured default workload (see constants)
+        gflops = _DEFAULT_USEFUL_GFLOP_PER_FRAME / dt
+        rayseg = _DEFAULT_RAYSEG_PER_FRAME / dt / 1e6
+        log(f"roofline: {rayseg:.1f} Mray-segments/s, {gflops:.0f} GFLOP/s "
+            f"of intersection math = {100 * gflops / _VPU_PEAK_GFLOPS:.1f}% "
+            f"of v5e VPU FMA peak (accounting: STATUS.md)")
 
     out_png = os.environ.get("OGLRT_BENCH_PNG")
     if out_png:
