@@ -66,6 +66,16 @@ def main():
     cam = make_camera(DEFAULT_CAM_POS, DEFAULT_CAM_DIR)
     cfg = RenderConfig(width=w, height=h, bounces=bounces)
 
+    # The _ABC_LAYOUT machinery exists only at the commit that
+    # introduced this file (it was removed right after the A/B closed
+    # frame-neutral — sort_window precedent).  Setting an attribute
+    # nothing reads would compile three IDENTICAL programs and report
+    # noise as a ranking, so fail loudly at later HEADs.
+    assert hasattr(shade, "_ABC_LAYOUT"), (
+        "ops.shade no longer carries the layout knob; check out the "
+        "commit introducing this experiment to reproduce the A/B "
+        "(results recorded in the docstring)")
+
     layouts = os.environ.get("LAYOUTS", "t,r,colg").split(",")
     variants = {}
     ref_img = None
