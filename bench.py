@@ -299,6 +299,7 @@ def supervise():
     """Parent: run the headline measurement (plus the north-star extras)
     in supervised children and ALWAYS print one JSON line (with an
     "error" field on terminal failure)."""
+    t_start = time.time()
     attempts = int(os.environ.get("OGLRT_BENCH_ATTEMPTS", 3))
     backoff = float(os.environ.get("OGLRT_BENCH_BACKOFF", 60))
     timeout = float(os.environ.get("OGLRT_BENCH_TIMEOUT", 1500))
@@ -319,6 +320,14 @@ def supervise():
     if _extras_enabled():
         ex_attempts = int(os.environ.get("OGLRT_BENCH_EXTRA_ATTEMPTS", 2))
         ex_timeout = float(os.environ.get("OGLRT_BENCH_EXTRA_TIMEOUT", 1200))
+        # Global extras deadline (seconds since supervisor start): the
+        # extras must never push the whole run past the CALLER's (the
+        # driver's) own artifact timeout — a kill there loses the
+        # headline JSON too.  With warm compile caches the full run is
+        # ~4-6 min; cold extras (~5 min each) are skipped or truncated
+        # once the deadline nears, leaving an "error" note in that
+        # extra and the headline intact.
+        deadline = float(os.environ.get("OGLRT_BENCH_DEADLINE", 900))
         extras = {}
         for key, env in (
             ("northstar_1080p", {"OGLRT_BENCH_SCENE": "bigscene"}),
@@ -326,8 +335,15 @@ def supervise():
                               "OGLRT_BENCH_SPP": "4",
                               "OGLRT_BENCH_ITERS": "4"}),
         ):
-            parsed, err = _run_child(env, ex_attempts, backoff, ex_timeout,
-                                     key)
+            remaining = deadline - (time.time() - t_start)
+            if remaining < 120:
+                extras[key] = {"error": f"skipped: {remaining:.0f}s left "
+                                        f"of the {deadline:.0f}s extras "
+                                        f"deadline"}
+                log(f"[{key}] -> {json.dumps(extras[key])}")
+                continue
+            parsed, err = _run_child(env, ex_attempts, backoff,
+                                     min(ex_timeout, remaining), key)
             extras[key] = parsed if parsed is not None else {"error": err}
             log(f"[{key}] -> {json.dumps(extras[key])}")
         headline["extra"] = extras
